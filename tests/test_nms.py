@@ -1,0 +1,133 @@
+"""NMS golden tests vs torchvision.ops.nms (the reference's CUDA kernel, on CPU)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from yolo_series_tpu.ops.nms import batched_nms, nms_keep_mask, nms_padded
+
+def _greedy_nms_oracle(boxes, scores, thr):
+    """Sequential O(n^2) greedy NMS — the trivially-correct oracle."""
+    order = np.argsort(-scores, kind="stable")
+    keep = []
+    suppressed = np.zeros(len(boxes), bool)
+    area = (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])
+    for i in order:
+        if suppressed[i]:
+            continue
+        keep.append(i)
+        ix1 = np.maximum(boxes[i, 0], boxes[:, 0])
+        iy1 = np.maximum(boxes[i, 1], boxes[:, 1])
+        ix2 = np.minimum(boxes[i, 2], boxes[:, 2])
+        iy2 = np.minimum(boxes[i, 3], boxes[:, 3])
+        inter = np.clip(ix2 - ix1, 0, None) * np.clip(iy2 - iy1, 0, None)
+        iou = inter / (area[i] + area - inter + 1e-7)
+        suppressed |= iou > thr
+    return np.array(keep, dtype=np.int64)
+
+
+def _rand_boxes_scores(n, rng, size=640, cluster=True):
+    if cluster:
+        # overlapping clusters to actually exercise suppression chains
+        centers = rng.uniform(100, size - 100, (max(n // 8, 1), 2))
+        idx = rng.integers(0, len(centers), n)
+        cxy = centers[idx] + rng.normal(0, 20, (n, 2))
+    else:
+        cxy = rng.uniform(50, size - 50, (n, 2))
+    wh = rng.uniform(20, 120, (n, 2))
+    boxes = np.concatenate([cxy - wh / 2, cxy + wh / 2], 1).astype(np.float32)
+    scores = rng.uniform(0.01, 1.0, n).astype(np.float32)
+    return boxes, scores
+
+
+@pytest.mark.parametrize("n,tile", [(50, 16), (300, 64), (1000, 256), (513, 128)])
+@pytest.mark.parametrize("thr", [0.3, 0.5, 0.65])
+def test_keep_mask_matches_torchvision(n, tile, thr):
+    rng = np.random.default_rng(n + int(thr * 100))
+    boxes, scores = _rand_boxes_scores(n, rng)
+    order = np.argsort(-scores)
+    boxes_sorted = boxes[order]
+
+    keep = np.asarray(nms_keep_mask(jnp.asarray(boxes_sorted), thr, tile=tile))
+    got = order[keep]
+
+    exp = _greedy_nms_oracle(boxes, scores, thr)
+    np.testing.assert_array_equal(np.sort(got), np.sort(exp))
+    # greedy order check: kept candidates in score order
+    np.testing.assert_array_equal(got, exp)
+
+
+def test_nms_padded_indices():
+    rng = np.random.default_rng(7)
+    boxes, scores = _rand_boxes_scores(400, rng)
+    idx, valid = nms_padded(jnp.asarray(boxes), jnp.asarray(scores), 0.5, max_output=100)
+    idx, valid = np.asarray(idx), int(valid)
+    exp = _greedy_nms_oracle(boxes, scores, 0.5)[:100]
+    assert valid == len(exp)
+    np.testing.assert_array_equal(idx[:valid], exp)
+
+
+def _ref_full_nms(pred, conf, iou, multi_label, max_det=300):
+    """Independent numpy re-statement of the non_max_suppression contract."""
+    out = []
+    for x in pred:
+        obj = x[:, 4]
+        x = x[obj > conf]
+        if not len(x):
+            out.append(np.zeros((0, 6), np.float32))
+            continue
+        cls = x[:, 5:] * x[:, 4:5]
+        box = np.concatenate(
+            [x[:, :2] - x[:, 2:4] / 2, x[:, :2] + x[:, 2:4] / 2], 1)
+        if multi_label:
+            i, j = np.nonzero(cls > conf)
+            det = np.concatenate([box[i], cls[i, j][:, None], j[:, None].astype(np.float32)], 1)
+        else:
+            j = cls.argmax(1)
+            c = cls[np.arange(len(cls)), j]
+            det = np.concatenate([box, c[:, None], j[:, None].astype(np.float32)], 1)
+            det = det[c > conf]
+        if not len(det):
+            out.append(np.zeros((0, 6), np.float32))
+            continue
+        offs = det[:, 5:6] * 4096.0
+        keep = _greedy_nms_oracle(det[:, :4] + offs, det[:, 4], iou)[:max_det]
+        out.append(det[keep])
+    return out
+
+
+@pytest.mark.parametrize("multi_label", [False, True])
+def test_batched_nms_end_to_end(multi_label):
+    rng = np.random.default_rng(11)
+    bs, a, nc = 3, 800, 12
+    pred = np.zeros((bs, a, 5 + nc), np.float32)
+    boxes_scores = [_rand_boxes_scores(a, np.random.default_rng(100 + i)) for i in range(bs)]
+    for i, (boxes, scores) in enumerate(boxes_scores):
+        xywh = np.concatenate([(boxes[:, :2] + boxes[:, 2:]) / 2, boxes[:, 2:] - boxes[:, :2]], 1)
+        pred[i, :, :4] = xywh
+        pred[i, :, 4] = scores
+        cls_p = rng.dirichlet(np.ones(nc) * 0.2, a).astype(np.float32)
+        pred[i, :, 5:] = cls_p
+
+    got = batched_nms(jnp.asarray(pred), conf_thres=0.25, iou_thres=0.45,
+                      multi_label=multi_label, max_det=50)
+    exp = _ref_full_nms(pred, 0.25, 0.45, multi_label, max_det=50)
+
+    for i in range(bs):
+        n = int(got.num_dets[i])
+        assert n == len(exp[i]), f"image {i}: {n} vs {len(exp[i])}"
+        np.testing.assert_allclose(np.asarray(got.boxes[i, :n]), exp[i][:, :4], rtol=1e-4, atol=1e-2)
+        np.testing.assert_allclose(np.asarray(got.scores[i, :n]), exp[i][:, 4], rtol=1e-4, atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(got.classes[i, :n]), exp[i][:, 5].astype(np.int32))
+
+
+def test_batched_nms_classes_filter():
+    rng = np.random.default_rng(13)
+    pred = rng.uniform(0, 1, (1, 200, 5 + 8)).astype(np.float32)
+    pred[..., :2] = rng.uniform(100, 500, (1, 200, 2))
+    pred[..., 2:4] = rng.uniform(20, 80, (1, 200, 2))
+    out = batched_nms(jnp.asarray(pred), conf_thres=0.1, iou_thres=0.5,
+                      classes=(1, 3), max_det=50)
+    n = int(out.num_dets[0])
+    assert n > 0
+    assert set(np.asarray(out.classes[0, :n]).tolist()) <= {1, 3}

@@ -1,0 +1,266 @@
+"""On-TPU batched non-maximum suppression — fixed shapes, no host round trip.
+
+Replaces the reference's CUDA NMS (`torchvision.ops.nms` via
+utils/general.py:628-720 `non_max_suppression`) and the TensorRT
+`EfficientNMS_TRT` plugin (utils/add_nms.py:72-143, models/experimental.py:111).
+
+Design (TPU-first):
+  * Candidate selection is a single `lax.top_k` over (anchors x classes)
+    scores — the reference's boolean-mask + sort (general.py:661-697)
+    becomes a static-shape top-K, so the whole path jits once.
+  * Suppression is *exact greedy NMS* computed tile-by-tile: boxes sorted by
+    score are processed in tiles of T; each tile is suppressed against all
+    previously-resolved tiles with one (K, T) IoU product, then resolved
+    internally by a fixed-point "self-suppression" iteration (the classic
+    TPU formulation used by TF's padded NMS). Sequential depth is K/T outer
+    steps + a handful of inner iterations, instead of K data-dependent steps.
+  * Output is the EfficientNMS-style contract: (num_dets, boxes, scores,
+    classes) with static max_det rows — identical to the Triton client's
+    response contract (deploy/triton-inference-server/client.py:15-16).
+
+Class-offset trick (general.py:702-703) is preserved: per-class NMS is done
+by shifting boxes by `class_id * max_wh` so one suppression pass handles all
+classes.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from yolo_series_tpu.ops.boxes import box_iou, xywh2xyxy
+
+
+class NMSOutput(NamedTuple):
+    """EfficientNMS_TRT-style fixed-shape detections (batched)."""
+
+    num_dets: jnp.ndarray  # (B,) int32 — valid rows per image
+    boxes: jnp.ndarray     # (B, max_det, 4) xyxy
+    scores: jnp.ndarray    # (B, max_det)
+    classes: jnp.ndarray   # (B, max_det) int32
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def nms_keep_mask(boxes: jnp.ndarray, iou_threshold: float, tile: int = 256) -> jnp.ndarray:
+    """Exact greedy NMS keep-mask for score-sorted boxes.
+
+    Args:
+      boxes: (K, 4) xyxy, already sorted by descending score. Padding rows
+        must be all-zero (zero area => IoU 0 => inert).
+      iou_threshold: suppress j>i when IoU(i, j) > threshold and i is kept.
+      tile: tile size (sequential depth is K / tile).
+
+    Returns:
+      (K,) bool keep mask equal to sequential greedy NMS.
+    """
+    k = boxes.shape[0]
+    kp = _round_up(k, tile)
+    if kp != k:
+        boxes = jnp.pad(boxes, ((0, kp - k), (0, 0)))
+    num_tiles = kp // tile
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (tile, tile), 0)
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (tile, tile), 1)
+    strict_lower = row_ids < col_ids  # suppressor index < suppressee index
+    all_ids = jax.lax.broadcasted_iota(jnp.int32, (kp, 1), 0)[:, 0]
+
+    def outer(i, keep):
+        start = i * tile
+        row = jax.lax.dynamic_slice(boxes, (start, 0), (tile, 4))
+        # Suppression by alive boxes in previously-resolved tiles.
+        iou_prev = box_iou(boxes, row)  # (kp, tile)
+        prev_alive = keep & (all_ids < start)
+        dead0 = jnp.any((iou_prev > iou_threshold) & prev_alive[:, None], axis=0)
+        alive0 = ~dead0
+        # Within-tile fixed-point self-suppression (exact greedy).
+        m = (box_iou(row, row) > iou_threshold) & strict_lower  # m[q, p]: q can suppress p
+
+        def step(alive):
+            return alive0 & ~jnp.any(alive[:, None] & m, axis=0)
+
+        def cond(state):
+            alive, prev, it = state
+            return jnp.any(alive != prev) & (it < tile)
+
+        def body(state):
+            alive, _, it = state
+            return step(alive), alive, it + 1
+
+        alive, _, _ = jax.lax.while_loop(
+            cond, body, (step(alive0), alive0, jnp.int32(0))
+        )
+        return jax.lax.dynamic_update_slice(keep, alive, (start,))
+
+    keep = jax.lax.fori_loop(0, num_tiles, outer, jnp.ones((kp,), dtype=bool))
+    return keep[:k]
+
+
+def nms_padded(
+    boxes: jnp.ndarray,
+    scores: jnp.ndarray,
+    iou_threshold: float = 0.45,
+    max_output: int = 300,
+    tile: int = 256,
+):
+    """Single-image NMS with padded static-shape output.
+
+    Args:
+      boxes: (N, 4) xyxy (need not be sorted).
+      scores: (N,) — rows with score == -inf are treated as invalid padding.
+      max_output: static number of output slots.
+
+    Returns:
+      (indices, valid): (max_output,) int32 indices into the input (0-filled
+      past `valid`), and scalar int32 count.
+    """
+    n = boxes.shape[0]
+    order = jnp.argsort(-scores)
+    boxes_s = boxes[order]
+    scores_s = scores[order]
+    valid_in = jnp.isfinite(scores_s)
+    boxes_s = jnp.where(valid_in[:, None], boxes_s, 0.0)
+    keep = nms_keep_mask(boxes_s, iou_threshold, tile=tile) & valid_in
+    pos = jnp.cumsum(keep) - 1
+    writable = keep & (pos < max_output)
+    out_idx = jnp.zeros((max_output,), dtype=jnp.int32)
+    out_idx = out_idx.at[jnp.where(writable, pos, max_output)].set(
+        order.astype(jnp.int32), mode="drop"
+    )
+    valid = jnp.minimum(jnp.sum(keep.astype(jnp.int32)), max_output)
+    return out_idx, valid
+
+
+def _single_image_nms(
+    pred: jnp.ndarray,
+    conf_thres: float,
+    iou_thres: float,
+    multi_label: bool,
+    agnostic: bool,
+    max_det: int,
+    max_nms: int,
+    max_wh: float,
+    nc: int,
+    tile: int,
+    class_mask: Optional[jnp.ndarray],
+):
+    """pred: (A, 5 + nc) decoded predictions for one image."""
+    boxes = xywh2xyxy(pred[:, 0:4])
+    obj = pred[:, 4]
+    cls_scores = pred[:, 5:5 + nc] * obj[:, None]
+
+    if multi_label:
+        # Every (anchor, class) pair is a candidate — reference general.py:684.
+        flat = cls_scores.reshape(-1)
+        if class_mask is not None:
+            flat = jnp.where(jnp.tile(class_mask, (pred.shape[0],)), flat, -jnp.inf)
+        flat = jnp.where(flat > conf_thres, flat, -jnp.inf)
+        k = min(max_nms, flat.shape[0])
+        top_scores, top_flat_idx = jax.lax.top_k(flat, k)
+        anchor_idx = top_flat_idx // nc
+        cand_cls = (top_flat_idx % nc).astype(jnp.float32)
+        cand_boxes = boxes[anchor_idx]
+    else:
+        # Best class per anchor — reference general.py:687-688.
+        if class_mask is not None:
+            cls_scores = jnp.where(class_mask[None, :], cls_scores, -jnp.inf)
+        best = jnp.argmax(cls_scores, axis=-1)
+        score = jnp.take_along_axis(cls_scores, best[:, None], axis=-1)[:, 0]
+        score = jnp.where(score > conf_thres, score, -jnp.inf)
+        k = min(max_nms, score.shape[0])
+        top_scores, anchor_idx = jax.lax.top_k(score, k)
+        cand_cls = best[anchor_idx].astype(jnp.float32)
+        cand_boxes = boxes[anchor_idx]
+
+    valid_cand = jnp.isfinite(top_scores)
+    offset = 0.0 if agnostic else cand_cls * max_wh
+    nms_boxes = jnp.where(valid_cand[:, None], cand_boxes + offset[:, None], 0.0)
+    keep = nms_keep_mask(nms_boxes, iou_thres, tile=tile) & valid_cand
+
+    pos = jnp.cumsum(keep) - 1
+    writable = keep & (pos < max_det)
+    scatter_idx = jnp.where(writable, pos, max_det)
+    out_boxes = jnp.zeros((max_det, 4), jnp.float32).at[scatter_idx].set(
+        cand_boxes, mode="drop")
+    out_scores = jnp.zeros((max_det,), jnp.float32).at[scatter_idx].set(
+        top_scores, mode="drop")
+    out_classes = jnp.zeros((max_det,), jnp.int32).at[scatter_idx].set(
+        cand_cls.astype(jnp.int32), mode="drop")
+    num = jnp.minimum(jnp.sum(keep.astype(jnp.int32)), max_det)
+    return num, out_boxes, out_scores, out_classes
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "conf_thres", "iou_thres", "multi_label", "agnostic",
+        "max_det", "max_nms", "max_wh", "tile",
+    ),
+)
+def batched_nms(
+    pred: jnp.ndarray,
+    conf_thres: float = 0.25,
+    iou_thres: float = 0.45,
+    multi_label: bool = False,
+    agnostic: bool = False,
+    max_det: int = 300,
+    max_nms: int = 4096,
+    max_wh: float = 4096.0,
+    tile: int = 256,
+    classes: Optional[Sequence[int]] = None,
+) -> NMSOutput:
+    """Batched end-to-end NMS on decoded predictions.
+
+    Functional equivalent of reference utils/general.py:628 `non_max_suppression`
+    with static shapes: pred (B, A, 5+nc) in xywh+obj+cls layout.
+
+    `classes` restricts detections to the given class ids (reference
+    general.py:691-693).
+    """
+    nc = pred.shape[-1] - 5
+    class_mask = None
+    if classes is not None:
+        class_mask = jnp.zeros((nc,), dtype=bool).at[jnp.asarray(list(classes))].set(True)
+    fn = functools.partial(
+        _single_image_nms,
+        conf_thres=conf_thres,
+        iou_thres=iou_thres,
+        multi_label=multi_label,
+        agnostic=agnostic,
+        max_det=max_det,
+        max_nms=max_nms,
+        max_wh=max_wh,
+        nc=nc,
+        tile=tile,
+        class_mask=class_mask,
+    )
+    num, boxes, scores, cls = jax.vmap(fn)(pred.astype(jnp.float32))
+    return NMSOutput(num, boxes, scores, cls)
+
+
+def nms_output_to_dets(out: NMSOutput):
+    """NMSOutput -> list of (n_i, 6) numpy arrays [x1, y1, x2, y2, conf, cls].
+
+    Host-side convenience matching the reference torch-path detection rows
+    (detect.py:152, test.py:126).
+    """
+    import numpy as np
+
+    num = np.asarray(out.num_dets)
+    boxes = np.asarray(out.boxes)
+    scores = np.asarray(out.scores)
+    classes = np.asarray(out.classes)
+    dets = []
+    for i in range(num.shape[0]):
+        n = int(num[i])
+        dets.append(
+            np.concatenate(
+                [boxes[i, :n], scores[i, :n, None], classes[i, :n, None].astype(np.float32)],
+                axis=1,
+            )
+        )
+    return dets
