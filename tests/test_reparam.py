@@ -1,0 +1,74 @@
+"""Fused == unfused numerical checks for the re-parameterization transforms."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from yolo_series_tpu.models import layers as L
+from yolo_series_tpu.models.graph import compile_graph
+from yolo_series_tpu.models.layers import Ctx
+from yolo_series_tpu.models.model import apply_model, init_model
+from yolo_series_tpu.models.reparam import fuse_block, fuse_model, fuse_repconv
+
+
+def _randomize_bn_state(state, key):
+    """Give BN nontrivial running stats so fusion is actually exercised."""
+    leaves, treedef = jax.tree_util.tree_flatten_with_path(state)
+    out = []
+    for i, (path, leaf) in enumerate(leaves):
+        k = jax.random.fold_in(key, i)
+        name = path[-1].key if hasattr(path[-1], "key") else ""
+        if name == "mean":
+            out.append(0.5 * jax.random.normal(k, leaf.shape))
+        elif name == "var":
+            out.append(jnp.exp(0.3 * jax.random.normal(k, leaf.shape)))
+        else:
+            out.append(leaf)
+    return jax.tree_util.tree_unflatten(treedef, out)
+
+
+@pytest.mark.parametrize("c1,c2,s", [(32, 32, 1), (32, 64, 1), (32, 64, 2)])
+def test_repconv_fusion(c1, c2, s):
+    block = L.RepConv(c1, c2, 3, s)
+    params, state = block.init(jax.random.PRNGKey(0))
+    state = _randomize_bn_state(state, jax.random.PRNGKey(1))
+    x = jax.random.normal(jax.random.PRNGKey(2), (2, 16, 16, c1))
+    ctx = Ctx(training=False)
+    y_train, _ = block.apply(params, state, x, ctx)
+    fp, fs = fuse_repconv(block, params, state)
+    y_fused, _ = block.apply(fp, fs, x, ctx)
+    np.testing.assert_allclose(np.asarray(y_fused), np.asarray(y_train),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_convbn_fusion():
+    block = L.ConvBnAct(16, 24, 3, 2)
+    params, state = block.init(jax.random.PRNGKey(0))
+    state = _randomize_bn_state(state, jax.random.PRNGKey(1))
+    x = jax.random.normal(jax.random.PRNGKey(2), (2, 32, 32, 16))
+    ctx = Ctx(training=False)
+    y, _ = block.apply(params, state, x, ctx)
+    fp, fs = fuse_block(block, params, state)
+    assert "bn" not in fp and "b" in fp
+    y_f, _ = block.apply(fp, fs, x, ctx)
+    np.testing.assert_allclose(np.asarray(y_f), np.asarray(y), rtol=1e-4, atol=1e-4)
+
+
+def test_full_model_fusion_tiny():
+    plan = compile_graph("yolo_series_tpu/models/cfg/training/yolov7-tiny.yaml")
+    params, state = init_model(plan, jax.random.PRNGKey(0))
+    state = _randomize_bn_state(state, jax.random.PRNGKey(1))
+    x = jax.random.uniform(jax.random.PRNGKey(2), (1, 128, 128, 3))
+    out, _ = apply_model(plan, params, state, x, training=False)
+    fp, fs = fuse_model(plan, params, state)
+    out_f, _ = apply_model(plan, fp, fs, x, training=False)
+    np.testing.assert_allclose(np.asarray(out_f["pred"]), np.asarray(out["pred"]),
+                               rtol=1e-3, atol=2e-3)
+    # fused tree must have no BN params anywhere
+    paths = [
+        "/".join(str(getattr(p, "key", p)) for p in path)
+        for path, _ in jax.tree_util.tree_flatten_with_path(fp)[0]
+    ]
+    assert not any("bn" in p for p in paths)
+    assert not any("ia" in p or "im" in p for p in paths)

@@ -1,0 +1,221 @@
+"""Detection heads: Detect / IDetect / IAuxDetect (+ keypoint/bin variants).
+
+Semantics mirror reference models/yolo.py (Detect yolo.py:23-94, IDetect
+yolo.py:97-207, IAuxDetect yolo.py:311-430) with a TPU-first decode: grids
+are trace-time constants (broadcasted iota — no cached host tensors or
+shape-change re-syncs), decode math is fused elementwise in fp32, and the
+per-level outputs concatenate into one (B, sum(na*ny*nx), no) tensor in the
+reference's anchor-major flatten order so downstream NMS and parity tests
+line up element-for-element.
+
+Training output layout is (B, na, ny, nx, no) per level — identical index
+semantics to the reference's .view(bs,na,no,ny,nx).permute(0,1,3,4,2)
+(yolo.py:49) so the loss/assignment code can be golden-tested 1:1.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from yolo_series_tpu.models.layers import (
+    Block, Ctx, ImplicitA, ImplicitM, PlainConv, _init_children,
+)
+
+
+def _decode_level(p, stride, anchors_px, nc):
+    """p: (B, ny, nx, na, no) raw logits -> (B, na*ny*nx, no) decoded.
+
+    Decode math == reference yolo.py:55-57:
+      xy = (sigmoid*2 - 0.5 + grid) * stride ; wh = (sigmoid*2)^2 * anchor_px
+    """
+    b, ny, nx, na, no = p.shape
+    y = jax.nn.sigmoid(p.astype(jnp.float32))
+    gx = jax.lax.broadcasted_iota(jnp.float32, (ny, nx), 1)
+    gy = jax.lax.broadcasted_iota(jnp.float32, (ny, nx), 0)
+    grid = jnp.stack([gx, gy], axis=-1)[:, :, None, :]           # (ny, nx, 1, 2)
+    anc = jnp.asarray(anchors_px, jnp.float32)[None, None, :, :]  # (1, 1, na, 2)
+    xy = (y[..., 0:2] * 2.0 - 0.5 + grid) * stride
+    wh = jnp.square(y[..., 2:4] * 2.0) * anc
+    out = jnp.concatenate([xy, wh, y[..., 4:]], axis=-1)
+    # anchor-major flatten (reference yolo.py:63 z.append(y.view(bs,-1,no)))
+    out = out.transpose(0, 3, 1, 2, 4).reshape(b, na * ny * nx, no)
+    return out
+
+
+@dataclasses.dataclass(frozen=True)
+class Detect:
+    """Anchor-based decode head (reference yolo.py:23-94).
+
+    apply(...) returns a dict:
+      training:  {"raw": [per-level (B, na, ny, nx, no)]}
+      inference: {"pred": (B, A, no), "raw": [...]}
+    """
+
+    nc: int
+    anchors: Tuple[Tuple[float, ...], ...]   # normalized by stride, (nl, na*2)
+    ch: Tuple[int, ...]
+    strides: Tuple[float, ...]
+
+    @property
+    def na(self):
+        return len(self.anchors[0]) // 2
+
+    @property
+    def nl(self):
+        return len(self.anchors)
+
+    @property
+    def no(self):
+        return self.nc + 5
+
+    def anchors_grid(self):
+        """(nl, na, 2) anchors in pixels (anchor * stride)."""
+        a = np.asarray(self.anchors, np.float32).reshape(self.nl, self.na, 2)
+        return a * np.asarray(self.strides, np.float32)[:, None, None]
+
+    def _convs(self):
+        return [PlainConv(c, self.no * self.na, 1) for c in self.ch]
+
+    def init(self, key):
+        keys = jax.random.split(key, self.nl)
+        params = {"m": [cv.init(k)[0] for cv, k in zip(self._convs(), keys)]}
+        return params, {}
+
+    def _raw_level(self, params, xs, i, ctx):
+        cv = self._convs()[i]
+        y, _ = cv.apply(params["m"][i], {}, xs[i], ctx)
+        b, ny, nx, _ = y.shape
+        y = y.reshape(b, ny, nx, self.na, self.no)
+        return y
+
+    def apply(self, params, state, xs: Sequence[jnp.ndarray], ctx: Ctx):
+        raws, preds = [], []
+        apx = self.anchors_grid()
+        for i in range(self.nl):
+            y = self._raw_level(params, xs, i, ctx)
+            raws.append(y.transpose(0, 3, 1, 2, 4))  # (B, na, ny, nx, no)
+            if not ctx.training:
+                preds.append(_decode_level(y, self.strides[i], apx[i], self.nc))
+        if ctx.training:
+            return {"raw": raws}, state
+        return {"pred": jnp.concatenate(preds, axis=1), "raw": raws}, state
+
+    def _bias_prior(self, stride, cf=None):
+        """Additive obj/cls bias prior (reference yolo.py:633-644):
+        b_obj += log(8 / (640/stride)^2); b_cls += log(0.6 / (nc - 0.99))."""
+        prior = np.zeros((self.na, self.no), np.float32)
+        prior[:, 4] = math.log(8.0 / (640.0 / stride) ** 2)
+        if cf is None:
+            prior[:, 5:] = math.log(0.6 / (self.nc - 0.99))
+        else:
+            prior[:, 5:] = np.log(cf / cf.sum())
+        return jnp.asarray(prior.reshape(-1))
+
+    def init_biases(self, params, cf=None):
+        new_m = [{**mp, "b": mp["b"] + self._bias_prior(self.strides[i], cf)}
+                 for i, mp in enumerate(params["m"])]
+        return {**params, "m": new_m}
+
+
+@dataclasses.dataclass(frozen=True)
+class IDetect(Detect):
+    """Detect + YOLOR implicit knowledge (reference yolo.py:97-207).
+
+    ia (additive, before conv) and im (multiplicative, after conv); fusing
+    them into the conv weights (models/reparam.py) turns the params into a
+    plain Detect param tree, after which apply takes the Detect path
+    (== reference fuseforward, yolo.py:140).
+    """
+
+    def init(self, key):
+        k1, k2, k3 = jax.random.split(key, 3)
+        params, state = Detect.init(self, k1)
+        kia = jax.random.split(k2, self.nl)
+        kim = jax.random.split(k3, self.nl)
+        params["ia"] = [ImplicitA(c).init(k)[0] for c, k in zip(self.ch, kia)]
+        params["im"] = [ImplicitM(self.no * self.na).init(k)[0] for k in kim]
+        return params, state
+
+    def _raw_level(self, params, xs, i, ctx):
+        x = xs[i]
+        if "ia" in params:
+            x = x + params["ia"][i]["v"].astype(x.dtype)
+        cv = self._convs()[i]
+        y, _ = cv.apply(params["m"][i], {}, x, ctx)
+        if "im" in params:
+            y = y * params["im"][i]["v"].astype(y.dtype)
+        b, ny, nx, _ = y.shape
+        return y.reshape(b, ny, nx, self.na, self.no)
+
+
+@dataclasses.dataclass(frozen=True)
+class IAuxDetect(Detect):
+    """P6 training head with auxiliary coarse branch (reference yolo.py:311-430).
+
+    ch has 2*nl entries: lead convs on ch[:nl], aux convs on ch[nl:].
+    Training returns raw = lead maps + aux maps (2*nl entries); inference
+    decodes lead only (yolo.py:334-362).
+    """
+
+    def _convs(self):
+        return [PlainConv(c, self.no * self.na, 1) for c in self.ch[: self.nl]]
+
+    def _aux_convs(self):
+        return [PlainConv(c, self.no * self.na, 1) for c in self.ch[self.nl:]]
+
+    def init(self, key):
+        k1, k2, k3, k4 = jax.random.split(key, 4)
+        keys = jax.random.split(k1, self.nl)
+        params = {"m": [cv.init(k)[0] for cv, k in zip(self._convs(), keys)]}
+        keys2 = jax.random.split(k2, self.nl)
+        params["m2"] = [cv.init(k)[0] for cv, k in zip(self._aux_convs(), keys2)]
+        kia = jax.random.split(k3, self.nl)
+        kim = jax.random.split(k4, self.nl)
+        params["ia"] = [ImplicitA(c).init(k)[0] for c, k in zip(self.ch[: self.nl], kia)]
+        params["im"] = [ImplicitM(self.no * self.na).init(k)[0] for k in kim]
+        return params, {}
+
+    def _raw_level(self, params, xs, i, ctx):
+        x = xs[i]
+        if "ia" in params:
+            x = x + params["ia"][i]["v"].astype(x.dtype)
+        y, _ = self._convs()[i].apply(params["m"][i], {}, x, ctx)
+        if "im" in params:
+            y = y * params["im"][i]["v"].astype(y.dtype)
+        b, ny, nx, _ = y.shape
+        return y.reshape(b, ny, nx, self.na, self.no)
+
+    def _raw_aux_level(self, params, xs, i, ctx):
+        y, _ = self._aux_convs()[i].apply(params["m2"][i], {}, xs[self.nl + i], ctx)
+        b, ny, nx, _ = y.shape
+        return y.reshape(b, ny, nx, self.na, self.no)
+
+    def apply(self, params, state, xs, ctx):
+        raws, preds = [], []
+        apx = self.anchors_grid()
+        for i in range(self.nl):
+            y = self._raw_level(params, xs, i, ctx)
+            raws.append(y.transpose(0, 3, 1, 2, 4))
+            if not ctx.training:
+                preds.append(_decode_level(y, self.strides[i], apx[i], self.nc))
+        if ctx.training:
+            for i in range(self.nl):
+                y2 = self._raw_aux_level(params, xs, i, ctx)
+                raws.append(y2.transpose(0, 3, 1, 2, 4))
+            return {"raw": raws}, state
+        return {"pred": jnp.concatenate(preds, axis=1), "raw": raws}, state
+
+    def init_biases(self, params, cf=None):
+        params = Detect.init_biases(self, params, cf)
+        new_m2 = [{**mp, "b": mp["b"] + self._bias_prior(self.strides[i], cf)}
+                  for i, mp in enumerate(params["m2"])]
+        return {**params, "m2": new_m2}
+
+
+HEAD_TYPES = (Detect, IDetect, IAuxDetect)

@@ -1,0 +1,125 @@
+"""Model: pure init/apply over a compiled GraphPlan.
+
+The reference's `Model.forward_once` module-interpreter loop
+(models/yolo.py:601-631) becomes a Python loop *traced once* under jit —
+the whole forward collapses into a single XLA computation and the
+save-list routing becomes ordinary SSA values (SURVEY.md §3.5).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from yolo_series_tpu.models.graph import GraphPlan, LayerSpec, compile_graph
+from yolo_series_tpu.models.layers import Ctx
+
+
+def init_model(plan: GraphPlan, key) -> Tuple[Any, Any]:
+    """Initialize (params, state) pytrees for a plan; applies the detect-head
+    bias priors (reference yolo.py:540 -> _initialize_biases)."""
+    params: List[Any] = []
+    state: List[Any] = []
+    keys = jax.random.split(key, len(plan.layers))
+    for spec, k in zip(plan.layers, keys):
+        if spec.n_seq > 1:
+            ks = jax.random.split(k, spec.n_seq)
+            ps, ss = zip(*[spec.block.init(kk) for kk in ks])
+            params.append(list(ps))
+            state.append(list(ss))
+        else:
+            p, s = spec.block.init(k)
+            params.append(p)
+            state.append(s)
+    head_spec = plan.layers[-1]
+    params[-1] = head_spec.block.init_biases(params[-1])
+    return {"layers": params}, {"layers": state}
+
+
+def apply_model(plan: GraphPlan, params, state, x, *,
+                training: bool = False, axis_name: Optional[str] = None,
+                dtype=jnp.float32):
+    """Run the graph. x: (B, H, W, C) NHWC in [0, 1].
+
+    Returns (out, new_state) where out is the head's dict:
+      training:  {"raw": [per-level (B, na, ny, nx, no)]}
+      inference: {"pred": (B, A, no), "raw": [...]}
+    """
+    ctx = Ctx(training=training, axis_name=axis_name, dtype=dtype)
+    lp = params["layers"]
+    ls = state["layers"]
+    new_state: List[Any] = list(ls)
+    saved: Dict[int, jnp.ndarray] = {}
+    y = x.astype(dtype)
+
+    for idx, spec in enumerate(plan.layers):
+        if isinstance(spec.frm, tuple):
+            inp = [y if j == -1 else saved[j] for j in spec.frm]
+        else:
+            inp = y if spec.frm == -1 else saved[spec.frm]
+
+        if spec.is_head:
+            out, new_state[idx] = spec.block.apply(lp[idx], ls[idx], inp, ctx)
+            return out, {"layers": new_state}
+
+        if spec.n_seq > 1:
+            ps, ss = lp[idx], ls[idx]
+            outs = []
+            cur = inp
+            for r in range(spec.n_seq):
+                cur, s_r = spec.block.apply(ps[r], ss[r], cur, ctx)
+                outs.append(s_r)
+            y, new_state[idx] = cur, outs
+        else:
+            y, new_state[idx] = spec.block.apply(lp[idx], ls[idx], inp, ctx)
+
+        if idx in plan.save:
+            saved[idx] = y
+
+    raise ValueError("graph plan ended without a head layer")
+
+
+@dataclasses.dataclass
+class Model:
+    """Convenience owner of (plan, params, state).
+
+    Mirrors the reference `Model(cfg, ch, nc, anchors)` constructor surface
+    (models/yolo.py:508) — but all compute goes through the pure
+    `apply_model`, so jit/grad/shard_map compose cleanly.
+    """
+
+    plan: GraphPlan
+    params: Any
+    state: Any
+
+    @classmethod
+    def from_yaml(cls, cfg, ch: int = 3, nc: Optional[int] = None,
+                  anchors: Optional[list] = None, key=None) -> "Model":
+        plan = compile_graph(cfg, ch=ch, nc=nc, anchors=anchors)
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        params, state = init_model(plan, key)
+        return cls(plan, params, state)
+
+    @property
+    def strides(self):
+        return self.plan.strides
+
+    @property
+    def head(self):
+        return self.plan.head
+
+    def __call__(self, x, training: bool = False, dtype=jnp.float32):
+        out, new_state = apply_model(
+            self.plan, self.params, self.state, x, training=training, dtype=dtype)
+        if training:
+            self.state = new_state
+        return out
+
+    def num_params(self):
+        return sum(int(np.prod(p.shape))
+                   for p in jax.tree_util.tree_leaves(self.params))

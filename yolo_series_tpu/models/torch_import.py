@@ -1,0 +1,177 @@
+"""Torch checkpoint importer: reference state_dicts -> (params, state) pytrees.
+
+Gives weight-level parity with the reference (experimental.py:247
+`attempt_load` loads `ema` else `model`): upstream YOLOv7 `.pt` checkpoints
+(and reference models instantiated in tests as oracles) import 1:1 into this
+framework. Conv weights transpose OIHW -> HWIO; implicit knowledge (1,C,1,1)
+buffers flatten to (C,).
+
+Works from a flat `{name: numpy array}` state dict, so torch is only needed
+by the caller that unpickles the checkpoint.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from yolo_series_tpu.models import layers as L
+from yolo_series_tpu.models import heads as H
+from yolo_series_tpu.models.graph import GraphPlan
+
+
+def _t(w: np.ndarray) -> jnp.ndarray:
+    """OIHW conv weight -> HWIO."""
+    return jnp.asarray(np.transpose(w, (2, 3, 1, 0)))
+
+
+class _SD:
+    """Flat state-dict view with presence checks and consumption tracking."""
+
+    def __init__(self, sd: Dict[str, np.ndarray]):
+        self.sd = sd
+        self.used = set()
+
+    def get(self, key: str) -> np.ndarray:
+        self.used.add(key)
+        return np.asarray(self.sd[key])
+
+    def has(self, key: str) -> bool:
+        return key in self.sd
+
+    def unused(self):
+        return [k for k in self.sd if k not in self.used
+                and not k.endswith("num_batches_tracked")
+                and not k.endswith("anchors") and not k.endswith("anchor_grid")]
+
+
+def _import_bn(sd: _SD, prefix: str):
+    params = {"scale": jnp.asarray(sd.get(f"{prefix}.weight")),
+              "bias": jnp.asarray(sd.get(f"{prefix}.bias"))}
+    state = {"mean": jnp.asarray(sd.get(f"{prefix}.running_mean")),
+             "var": jnp.asarray(sd.get(f"{prefix}.running_var"))}
+    return params, state
+
+
+def _import_convbn(sd: _SD, prefix: str):
+    """reference Conv (common.py:99): {conv.weight, bn.*}; fused: conv.bias."""
+    w = _t(sd.get(f"{prefix}.conv.weight"))
+    if sd.has(f"{prefix}.bn.weight"):
+        bnp, bns = _import_bn(sd, f"{prefix}.bn")
+        return {"w": w, "bn": bnp}, {"bn": bns}
+    return {"w": w, "b": jnp.asarray(sd.get(f"{prefix}.conv.bias"))}, {}
+
+
+def _import_repconv(sd: _SD, prefix: str, block: L.RepConv):
+    if sd.has(f"{prefix}.rbr_reparam.weight"):
+        return ({"w": _t(sd.get(f"{prefix}.rbr_reparam.weight")),
+                 "b": jnp.asarray(sd.get(f"{prefix}.rbr_reparam.bias"))}, {})
+    dp, ds = _import_bn(sd, f"{prefix}.rbr_dense.1")
+    op, os_ = _import_bn(sd, f"{prefix}.rbr_1x1.1")
+    params = {"dense": {"w": _t(sd.get(f"{prefix}.rbr_dense.0.weight")), "bn": dp},
+              "one": {"w": _t(sd.get(f"{prefix}.rbr_1x1.0.weight")), "bn": op}}
+    state = {"dense": {"bn": ds}, "one": {"bn": os_}}
+    if block.has_identity:
+        ip, is_ = _import_bn(sd, f"{prefix}.rbr_identity")
+        params["idbn"] = ip
+        state["idbn"] = is_
+    return params, state
+
+
+def _child_torch_name(block, name: str) -> str:
+    """my child name -> torch attribute path under the block."""
+    if isinstance(block, L.Ghost):
+        return {"conv0": "conv.0", "conv1": "conv.1", "conv2": "conv.2",
+                "short_dw": "shortcut.0", "short_pw": "shortcut.1"}[name]
+    if name[0] == "m" and name[1:].isdigit():
+        return f"m.{name[1:]}"
+    return name
+
+
+def import_block(block, sd: _SD, prefix: str) -> Tuple[Any, Any]:
+    if isinstance(block, L.RepConv):
+        return _import_repconv(sd, prefix, block)
+    if isinstance(block, L.Focus):
+        return _import_convbn(sd, f"{prefix}.conv")
+    if isinstance(block, L.ConvBnAct):
+        return _import_convbn(sd, prefix)
+    if isinstance(block, L.PlainConv):
+        return ({"w": _t(sd.get(f"{prefix}.weight")),
+                 "b": jnp.asarray(sd.get(f"{prefix}.bias"))}, {})
+    if isinstance(block, L.BatchNorm2d):
+        return _import_bn(sd, prefix)
+    if isinstance(block, (L.ImplicitA, L.ImplicitM)):
+        return {"v": jnp.asarray(sd.get(f"{prefix}.implicit").reshape(-1))}, {}
+    if isinstance(block, L.Composite):
+        params, state = {}, {}
+        for name, child in block.children().items():
+            tname = _child_torch_name(block, name)
+            params[name], state[name] = import_block(child, sd, f"{prefix}.{tname}")
+        return params, state
+    # stateless blocks (MP/SP/ReOrg/Concat/Upsample/...)
+    return {}, {}
+
+
+def _import_head(head, sd: _SD, prefix: str):
+    params: Dict[str, Any] = {"m": []}
+    fused_implicit = not sd.has(f"{prefix}.ia.0.implicit")
+    for i in range(head.nl):
+        params["m"].append({"w": _t(sd.get(f"{prefix}.m.{i}.weight")),
+                            "b": jnp.asarray(sd.get(f"{prefix}.m.{i}.bias"))})
+    if isinstance(head, (H.IDetect, H.IAuxDetect)) and not fused_implicit:
+        params["ia"] = [{"v": jnp.asarray(sd.get(f"{prefix}.ia.{i}.implicit").reshape(-1))}
+                        for i in range(head.nl)]
+        params["im"] = [{"v": jnp.asarray(sd.get(f"{prefix}.im.{i}.implicit").reshape(-1))}
+                        for i in range(head.nl)]
+    if isinstance(head, H.IAuxDetect) and sd.has(f"{prefix}.m2.0.weight"):
+        params["m2"] = [{"w": _t(sd.get(f"{prefix}.m2.{i}.weight")),
+                         "b": jnp.asarray(sd.get(f"{prefix}.m2.{i}.bias"))}
+                        for i in range(head.nl)]
+    return params, {}
+
+
+def import_state_dict(plan: GraphPlan, state_dict: Dict[str, np.ndarray],
+                      strict: bool = True):
+    """Import a reference/upstream flat state dict (numpy values) into
+    (params, state) for `plan`. Keys are 'model.{i}.<...>'."""
+    sd = _SD(state_dict)
+    params, state = [], []
+    for spec in plan.layers:
+        prefix = f"model.{spec.index}"
+        if spec.is_head:
+            p, s = _import_head(spec.block, sd, prefix)
+        elif spec.n_seq > 1:
+            ps, ss = zip(*[import_block(spec.block, sd, f"{prefix}.{r}")
+                           for r in range(spec.n_seq)])
+            p, s = list(ps), list(ss)
+        else:
+            p, s = import_block(spec.block, sd, prefix)
+        params.append(p)
+        state.append(s)
+    if strict:
+        leftover = sd.unused()
+        if leftover:
+            raise ValueError(f"unmatched torch keys: {leftover[:10]}"
+                             f" (+{max(len(leftover)-10,0)} more)")
+    return {"layers": params}, {"layers": state}
+
+
+def load_torch_checkpoint(path: str, plan: GraphPlan, prefer_ema: bool = True):
+    """Load a reference .pt checkpoint (full pickled module or state_dict).
+
+    Mirrors attempt_load's `ema` preference (experimental.py:253).
+    """
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(ckpt, dict):
+        model = ckpt.get("ema") if prefer_ema and ckpt.get("ema") else ckpt.get("model", ckpt)
+    else:
+        model = ckpt
+    if hasattr(model, "state_dict"):
+        sd = {k: v.detach().float().numpy() for k, v in model.state_dict().items()}
+    else:
+        sd = {k: np.asarray(v, dtype=np.float32) for k, v in model.items()}
+    return import_state_dict(plan, sd)
