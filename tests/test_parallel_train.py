@@ -1,0 +1,133 @@
+"""Mesh data-parallel training-step tests on the 8-device virtual CPU mesh."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from yolo_series_tpu.losses import LossHyp, make_compute_loss, make_compute_loss_ota
+from yolo_series_tpu.models.model import Model
+from yolo_series_tpu.parallel.mesh import make_mesh, replicated
+from yolo_series_tpu.train.optim import OptimConfig, param_groups, GROUP_BIAS, GROUP_DECAY
+from yolo_series_tpu.train.schedules import warmup_factors
+from yolo_series_tpu.train.step import init_train_state, make_train_step
+
+
+def _tiny_batch(rng, batch, img, m=8, nt=2):
+    x = rng.uniform(0, 1, (batch, img, img, 3)).astype(np.float32)
+    labels = np.zeros((batch, m, 5), np.float32)
+    labels[:, :nt, 0] = rng.integers(0, 80, (batch, nt))
+    labels[:, :nt, 1:3] = rng.uniform(0.3, 0.7, (batch, nt, 2))
+    labels[:, :nt, 3:5] = rng.uniform(0.1, 0.3, (batch, nt, 2))
+    mask = np.zeros((batch, m), bool)
+    mask[:, :nt] = True
+    return x, labels, mask
+
+
+def test_dryrun_multichip_entrypoint():
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    import __graft_entry__
+
+    __graft_entry__.dryrun_multichip(8)
+
+
+def test_param_groups():
+    m = Model.from_yaml("yolo_series_tpu/models/cfg/training/yolov7-tiny.yaml")
+    groups = param_groups(m.params)
+    flat = jax.tree_util.tree_flatten_with_path(groups)[0]
+    n_bias = sum(1 for _, g in flat if g == GROUP_BIAS)
+    n_decay = sum(1 for _, g in flat if g == GROUP_DECAY)
+    assert n_bias > 0 and n_decay > 0
+    # detect-head conv biases must be in the bias group
+    pflat = dict(
+        ("/".join(str(getattr(p, "key", getattr(p, "idx", p))) for p in path), g)
+    for path, g in flat)
+    head_bias = [k for k in pflat if k.endswith("/b")]
+    assert head_bias and all(pflat[k] == GROUP_BIAS for k in head_bias)
+
+
+def test_sharded_step_matches_single_device():
+    """DP-sharded step == unsharded step (same math, XLA inserts collectives)."""
+    img, batch = 64, 8
+    m = Model.from_yaml("yolo_series_tpu/models/cfg/training/yolov7-tiny.yaml",
+                        key=jax.random.PRNGKey(7))
+    loss_fn = make_compute_loss(m.plan.head, LossHyp())
+    cfg = OptimConfig()
+    rng = np.random.default_rng(0)
+    x, labels, mask = _tiny_batch(rng, batch, img)
+    lr_groups, mom = warmup_factors(jnp.float32(500), 100, jnp.float32(1.0),
+                                    300, cfg.lr0, 0.1, 0.1, 0.8, cfg.momentum)
+
+    copy = lambda t: jax.tree_util.tree_map(jnp.copy, t)
+    ts0 = init_train_state(copy(m.params), copy(m.state), cfg)
+    step_1dev = make_train_step(m.plan, loss_fn, cfg, mesh=None,
+                                compute_dtype=jnp.float32)
+    ts1, m1 = step_1dev(ts0, jnp.asarray(x), jnp.asarray(labels),
+                        jnp.asarray(mask), lr_groups, mom)
+
+    mesh = make_mesh(n_data=8)
+    ts0b = init_train_state(m.params, m.state, cfg)
+    ts0b = jax.device_put(ts0b, replicated(mesh))
+    step_8dev = make_train_step(m.plan, loss_fn, cfg, mesh=mesh,
+                                compute_dtype=jnp.float32)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    bsh = NamedSharding(mesh, P("data"))
+    ts8, m8 = step_8dev(ts0b, jax.device_put(jnp.asarray(x), bsh),
+                        jax.device_put(jnp.asarray(labels), bsh),
+                        jax.device_put(jnp.asarray(mask), bsh),
+                        lr_groups, mom)
+
+    np.testing.assert_allclose(float(m1["total"]), float(m8["total"]),
+                               rtol=1e-4, atol=1e-5)
+    # updates must agree up to fp32 reduction-order noise: compare the
+    # one-step deltas, not raw params, and bound the relative deviation
+    d1 = jax.tree_util.tree_map(lambda a, b: a - b, ts1.params, m.params)
+    d8 = jax.tree_util.tree_map(lambda a, b: a - b, ts8.params, m.params)
+    num = sum(float(jnp.sum(jnp.square(a - b)))
+              for a, b in zip(jax.tree_util.tree_leaves(d1),
+                              jax.tree_util.tree_leaves(d8)))
+    den = sum(float(jnp.sum(jnp.square(a)))
+              for a in jax.tree_util.tree_leaves(d1))
+    rel = (num / max(den, 1e-20)) ** 0.5
+    assert rel < 0.02, f"sharded/unsharded update divergence {rel:.4f}"
+
+
+def test_grad_accumulation_step():
+    img = 64
+    m = Model.from_yaml("yolo_series_tpu/models/cfg/training/yolov7-tiny.yaml")
+    loss_fn = make_compute_loss_ota(m.plan.head, LossHyp(), img)
+    cfg = OptimConfig()
+    ts = init_train_state(m.params, m.state, cfg)
+    step_fn = make_train_step(m.plan, loss_fn, cfg, accumulate=2,
+                              compute_dtype=jnp.float32)
+    rng = np.random.default_rng(1)
+    x, labels, mask = _tiny_batch(rng, 4, img)
+    shp = lambda a: a.reshape(2, 2, *a.shape[1:])
+    lr_groups, mom = warmup_factors(jnp.float32(0), 100, jnp.float32(0.0),
+                                    300, cfg.lr0, 0.1, 0.1, 0.8, cfg.momentum)
+    ts2, metrics = step_fn(ts, jnp.asarray(shp(x)), jnp.asarray(shp(labels)),
+                           jnp.asarray(shp(mask)), lr_groups, mom)
+    assert np.isfinite(float(metrics["total"]))
+    assert int(ts2.step) == 1
+
+
+def test_overfit_tiny():
+    """End-to-end trainer integration: loss decreases on a fixed tiny batch."""
+    img = 64
+    m = Model.from_yaml("yolo_series_tpu/models/cfg/training/yolov7-tiny.yaml",
+                        key=jax.random.PRNGKey(3))
+    loss_fn = make_compute_loss(m.plan.head, LossHyp())
+    cfg = OptimConfig(lr0=0.01)
+    ts = init_train_state(m.params, m.state, cfg)
+    step_fn = make_train_step(m.plan, loss_fn, cfg, compute_dtype=jnp.float32)
+    rng = np.random.default_rng(5)
+    x, labels, mask = _tiny_batch(rng, 2, img)
+    x, labels, mask = jnp.asarray(x), jnp.asarray(labels), jnp.asarray(mask)
+    losses = []
+    for i in range(30):
+        lr_groups, mom = warmup_factors(jnp.float32(i), 10, jnp.float32(0.0),
+                                        300, cfg.lr0, 0.1, 0.1, 0.8, cfg.momentum)
+        ts, metrics = step_fn(ts, x, labels, mask, lr_groups, mom)
+        losses.append(float(metrics["total"]))
+    assert losses[-1] < losses[0] * 0.8, losses[::5]

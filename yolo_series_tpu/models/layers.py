@@ -136,11 +136,14 @@ def batch_norm(bn_params, bn_state, x, ctx: Ctx):
     if ctx.training:
         xf = x.astype(jnp.float32)
         mean = jnp.mean(xf, axis=(0, 1, 2))
-        mean_sq = jnp.mean(jnp.square(xf), axis=(0, 1, 2))
         if ctx.axis_name is not None:
             mean = jax.lax.pmean(mean, ctx.axis_name)
-            mean_sq = jax.lax.pmean(mean_sq, ctx.axis_name)
-        var = mean_sq - jnp.square(mean)
+        # two-pass variance: E[(x-mu)^2], not E[x^2]-mu^2 — the latter's
+        # cancellation amplifies partitioned-reduction rounding into real
+        # sharded-vs-unsharded divergence (and is less accurate generally)
+        var = jnp.mean(jnp.square(xf - mean), axis=(0, 1, 2))
+        if ctx.axis_name is not None:
+            var = jax.lax.pmean(var, ctx.axis_name)
         n = x.shape[0] * x.shape[1] * x.shape[2]
         if ctx.axis_name is not None:
             n = n * jax.lax.psum(1, ctx.axis_name)

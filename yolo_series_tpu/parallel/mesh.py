@@ -1,0 +1,66 @@
+"""Device mesh + sharding rules — the framework's entire distributed layer.
+
+Replaces every distributed mechanism in the reference (SURVEY.md §2.7):
+
+  reference                              | here
+  ---------------------------------------+----------------------------------
+  torch DataParallel (train.py:236)      | batch sharded over the 'data'
+  DDP + NCCL allreduce (train.py:282)    |   mesh axis under jit; XLA
+                                         |   inserts the gradient reductions
+  loss *= world_size hack (train.py:375) | gone — global-batch semantics
+  SyncBatchNorm opt-in (train.py:240)    | automatic: BN moments are global
+                                         |   means under pjit partitioning
+  DistributedSampler (datasets.py:86)    | host_local_slice per process
+  dist.broadcast of sampled indices      | jax.experimental.multihost_utils
+  torch_distributed_zero_first barrier   | process-0 cache build + barrier
+
+The mesh carries two axes: 'data' (batch parallelism over ICI) and 'model'
+(reserved for tensor-parallel sharding; size 1 for every shipped model —
+the reference has no TP/PP/SP either, SURVEY.md §2.7). Keeping the axis in
+the mesh means turning TP on later is a sharding-rule change, not a
+rewrite.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_data: Optional[int] = None, n_model: int = 1,
+              devices=None) -> Mesh:
+    """Build a ('data', 'model') mesh over the available devices."""
+    if devices is None:
+        devices = jax.devices()
+    if n_data is None:
+        n_data = len(devices) // n_model
+    devs = np.asarray(devices[: n_data * n_model]).reshape(n_data, n_model)
+    return Mesh(devs, ("data", "model"))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading-axis batch sharding over 'data'."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, tree: Any) -> Any:
+    """Device-put a host batch with the leading axis sharded over 'data'."""
+    s = batch_sharding(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), tree)
+
+
+def host_local_slice(n: int, process_index: Optional[int] = None,
+                     process_count: Optional[int] = None) -> slice:
+    """This host's contiguous shard of a length-n global batch (the
+    multi-host analog of DistributedSampler's index partitioning)."""
+    pi = jax.process_index() if process_index is None else process_index
+    pc = jax.process_count() if process_count is None else process_count
+    per = n // pc
+    return slice(pi * per, (pi + 1) * per)
