@@ -1,0 +1,186 @@
+"""Data pipeline tests: letterbox golden vs reference, synthetic datasets
+for COCO-txt and CrowdHuman+SHEL 'human' kinds, loader batch contract."""
+
+import json
+import os
+from pathlib import Path
+
+import cv2
+import numpy as np
+import pytest
+
+from yolo_series_tpu.data.augment import letterbox, random_perspective, mosaic4
+from yolo_series_tpu.data.datasets import (
+    DetectionDataset, build_label_cache, create_loader, pad_labels,
+)
+from tests.ref_oracle import has_reference, load_reference
+
+
+@pytest.fixture(scope="module")
+def coco_tree(tmp_path_factory):
+    """Synthetic /images + /labels tree with drawn boxes."""
+    root = tmp_path_factory.mktemp("coco")
+    (root / "images").mkdir()
+    (root / "labels").mkdir()
+    rng = np.random.default_rng(0)
+    files = []
+    for i in range(8):
+        h, w = int(rng.integers(200, 400)), int(rng.integers(200, 400))
+        img = np.full((h, w, 3), 60, np.uint8)
+        rows = []
+        for _ in range(int(rng.integers(1, 5))):
+            bw, bh = rng.uniform(0.1, 0.4, 2)
+            cx = rng.uniform(bw / 2, 1 - bw / 2)
+            cy = rng.uniform(bh / 2, 1 - bh / 2)
+            cls = int(rng.integers(0, 3))
+            x1, y1 = int((cx - bw / 2) * w), int((cy - bh / 2) * h)
+            x2, y2 = int((cx + bw / 2) * w), int((cy + bh / 2) * h)
+            cv2.rectangle(img, (x1, y1), (x2, y2), (0, 0, 255), -1)
+            rows.append(f"{cls} {cx:.6f} {cy:.6f} {bw:.6f} {bh:.6f}")
+        p = root / "images" / f"img{i}.jpg"
+        cv2.imwrite(str(p), img)
+        (root / "labels" / f"img{i}.txt").write_text("\n".join(rows))
+        files.append(str(p))
+    return root, files
+
+
+@pytest.mark.skipif(not has_reference(), reason="reference repo unavailable")
+@pytest.mark.parametrize("shape,auto,scaleup", [
+    ((640, 640), True, True), ((640, 640), False, True),
+    (512, False, False), ((480, 640), True, True)])
+def test_letterbox_matches_reference(shape, auto, scaleup):
+    load_reference()
+    from utils.datasets import letterbox as ref_letterbox
+
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 255, (317, 493, 3), dtype=np.uint8).copy()
+    got_img, got_r, got_pad = letterbox(img.copy(), shape, auto=auto,
+                                        scaleup=scaleup)
+    exp_img, exp_r, exp_pad = ref_letterbox(img.copy(), shape, auto=auto,
+                                            scaleup=scaleup)
+    assert got_img.shape == exp_img.shape
+    np.testing.assert_allclose(got_r, exp_r)
+    np.testing.assert_allclose(got_pad, exp_pad)
+    assert (got_img == exp_img).mean() > 0.999
+
+
+def test_cache_and_dataset_coco(coco_tree):
+    root, files = coco_tree
+    ds = DetectionDataset(str(root / "images"), img_size=320, batch_size=4,
+                          augment=False)
+    assert len(ds) == 8
+    img, labels, path, shapes = ds[0]
+    assert img.dtype == np.uint8 and img.shape[2] == 3
+    assert labels.shape[1] == 5
+    assert (labels[:, 1:] >= 0).all() and (labels[:, 1:] <= 1).all()
+
+
+def test_dataset_augment_mosaic(coco_tree):
+    root, _ = coco_tree
+    ds = DetectionDataset(str(root / "images"), img_size=320, batch_size=4,
+                          augment=True, hyp={"mosaic": 1.0, "mixup": 1.0})
+    import random as _r
+    _r.seed(0)
+    img, labels, _, _ = ds[0]
+    # the 2s x 2s mosaic canvas crops back to s x s via the negative border
+    assert img.shape == (320, 320, 3)
+    assert (labels[:, 1:] <= 1.0 + 1e-6).all()
+
+
+def test_rect_batching(coco_tree):
+    root, _ = coco_tree
+    ds = DetectionDataset(str(root / "images"), img_size=320, batch_size=4,
+                          augment=False, rect=True, pad=0.5)
+    assert hasattr(ds, "batch_shapes")
+    assert (ds.batch_shapes % 32 == 0).all()
+    img, _, _, _ = ds[0]
+    bs = ds.batch_shapes[0]
+    assert img.shape[:2] == (bs[0], bs[1])
+
+
+def test_loader_contract(coco_tree):
+    root, _ = coco_tree
+    ds = DetectionDataset(str(root / "images"), img_size=320, batch_size=4,
+                          augment=True)
+    loader = create_loader(ds, batch_size=4, max_labels=64)
+    batches = list(loader)
+    assert len(batches) == 2
+    b = batches[0]
+    assert b["images"].shape == (4, 320, 320, 3)
+    assert b["labels"].shape == (4, 64, 5)
+    assert b["label_mask"].shape == (4, 64)
+    assert b["label_mask"].sum() > 0
+
+
+def test_human_dataset_kind(tmp_path):
+    """CrowdHuman odgt + SHEL xml joint labels with cut_max_len."""
+    imgdir = tmp_path / "images" / "CrowdHuman"
+    imgdir.mkdir(parents=True)
+    sheldir = tmp_path / "images" / "Safety_Helmet_Detection_with_Extended_Labels"
+    sheldir.mkdir(parents=True)
+    xmldir = tmp_path / "xmls"
+    xmldir.mkdir()
+
+    img = np.full((200, 300, 3), 90, np.uint8)
+    cv2.imwrite(str(imgdir / "ch1.jpg"), img)
+    cv2.imwrite(str(imgdir / "ch2.jpg"), img)
+    cv2.imwrite(str(sheldir / "sh1.jpg"), img)
+
+    odgt = tmp_path / "ann.odgt"
+    rows = [
+        {"ID": "ch1", "gtboxes": [
+            {"tag": "person", "hbox": [10, 10, 20, 20], "vbox": [5, 5, 60, 120]},
+            {"tag": "mask", "hbox": [0, 0, 5, 5], "vbox": [0, 0, 9, 9]}]},
+        {"ID": "ch2", "gtboxes": [
+            {"tag": "person", "hbox": [30, 10, 20, 20], "vbox": [25, 5, 60, 120]}
+            for _ in range(40)]},
+    ]
+    odgt.write_text("\n".join(json.dumps(r) for r in rows))
+
+    xml = """<annotation><filename>sh1.jpg</filename>
+    <size><width>300</width><height>200</height><depth>3</depth></size>
+    <object><name>person_with_helmet</name><pose>x</pose><truncated>0</truncated>
+    <difficult>0</difficult><bndbox><xmin>50</xmin><ymin>40</ymin><xmax>120</xmax><ymax>180</ymax></bndbox></object>
+    <object><name>head</name><pose>x</pose><truncated>0</truncated>
+    <difficult>0</difficult><bndbox><xmin>60</xmin><ymin>40</ymin><xmax>90</xmax><ymax>70</ymax></bndbox></object>
+    </annotation>"""
+    (xmldir / "sh1.xml").write_text(xml)
+
+    files = [str(imgdir / "ch1.jpg"), str(imgdir / "ch2.jpg"),
+             str(sheldir / "sh1.jpg")]
+    cache = build_label_cache(files, kind="human", odgt_paths=[str(odgt)],
+                              xml_dir=str(xmldir), cut_max_len=50)
+    items = cache["items"]
+    # ch1: 1 person instance -> 2 rows (person cls 0 + head cls 81)
+    lb = items[files[0]][0]
+    assert len(lb) == 2 and set(lb[:, 0]) == {0.0, 81.0}
+    # ch2: 40 instances -> 80 rows > cut_max_len 50 -> dropped
+    assert files[1] not in items
+    assert cache["stats"]["cut_crowd_human_num"] == 1
+    assert cache["stats"]["max_label_len"] == 80
+    # shel: classes mapped
+    lb3 = items[files[2]][0]
+    assert set(lb3[:, 0]) == {80.0, 81.0}
+    assert (lb3[:, 1:] <= 1).all() and (lb3[:, 1:] >= 0).all()
+
+
+def test_pad_labels_overflow():
+    lb = np.zeros((10, 5), np.float32)
+    lb[:, 3] = np.linspace(0.1, 1.0, 10)
+    lb[:, 4] = 0.5
+    out, mask = pad_labels([lb], 4)
+    assert mask.sum() == 4
+    # keeps the largest boxes
+    assert out[0, :, 3].max() == pytest.approx(1.0)
+
+
+def test_random_perspective_keeps_valid_boxes():
+    img = np.full((320, 320, 3), 114, np.uint8)
+    targets = np.array([[0, 80, 80, 240, 240]], np.float32)
+    import random as _r
+    _r.seed(1)
+    out, t = random_perspective(img, targets, scale=0.2, translate=0.1)
+    assert out.shape == (320, 320, 3)
+    if len(t):
+        assert (t[:, 1:5] >= 0).all()
+        assert (t[:, [1, 3]] <= 320).all() and (t[:, [2, 4]] <= 320).all()

@@ -136,3 +136,45 @@ def test_compute_loss_ota_matches_reference(seed, rtol):
                                rtol=rtol, atol=1e-5)
     np.testing.assert_allclose(float(items["cls"]), float(ref_items[2]),
                                rtol=rtol, atol=1e-5)
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_compute_loss_aux_ota_matches_reference(seed):
+    import torch
+
+    import jax.numpy as jnp
+    from yolo_series_tpu.losses import LossHyp
+    from yolo_series_tpu.losses.aux_ota import make_compute_loss_aux_ota
+    from yolo_series_tpu.models.graph import compile_graph
+
+    model = _make_ref_model()
+    import sys
+    sys.path.insert(0, "/root/reference")
+    from utils.loss import ComputeLossAuxOTA as RefAux
+
+    ref_loss = RefAux(model)
+
+    img = 256
+    raw_lead, targets = _random_case(seed, img=img)
+    rng = np.random.default_rng(seed + 100)
+    raw_aux = [rng.normal(0, 1.0, r.shape).astype(np.float32) for r in raw_lead]
+    raw = raw_lead + raw_aux
+    bs = raw[0].shape[0]
+    imgs = torch.zeros((bs, 3, img, img))
+
+    with torch.no_grad():
+        ref_total, ref_items = ref_loss(
+            [torch.from_numpy(r) for r in raw], torch.from_numpy(targets), imgs)
+
+    plan = compile_graph("yolo_series_tpu/models/cfg/training/yolov7-tiny.yaml")
+    labels, mask = _to_padded(targets, bs)
+    loss_fn = make_compute_loss_aux_ota(plan.head, LossHyp(), img_size=img)
+    total, items = loss_fn([jnp.asarray(r) for r in raw],
+                           jnp.asarray(labels), jnp.asarray(mask))
+
+    np.testing.assert_allclose(float(items["box"]), float(ref_items[0]),
+                               rtol=2e-3, atol=1e-5)
+    np.testing.assert_allclose(float(items["obj"]), float(ref_items[1]),
+                               rtol=2e-3, atol=1e-5)
+    np.testing.assert_allclose(float(items["cls"]), float(ref_items[2]),
+                               rtol=2e-3, atol=1e-5)

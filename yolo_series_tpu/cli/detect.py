@@ -1,0 +1,132 @@
+"""Detection CLI (the detect.py equivalent, reference detect.py:26-296).
+
+python -m yolo_series_tpu.cli.detect --weights best.ckpt \
+    --source /path/to/imgs --img-size 640 --conf-thres 0.25
+
+Supports image files/dirs/globs, videos, webcam ('0'), and stream lists;
+saves annotated media and optional txt labels, mirroring the reference's
+output conventions.
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+from pathlib import Path
+
+import cv2
+import numpy as np
+
+
+def increment_path(path, exist_ok=False):
+    """runs/detect/exp -> exp{2,3,...} (reference general.py:891-904)."""
+    path = Path(path)
+    if not path.exists() or exist_ok:
+        return path
+    for n in range(2, 9999):
+        p = Path(f"{path}{n}")
+        if not p.exists():
+            return p
+    raise RuntimeError("too many runs")
+
+
+def detect(opt):
+    from yolo_series_tpu.infer.detector import Detector, draw_detections
+    from yolo_series_tpu.infer.sources import LoadImages, LoadStreams, LoadWebcam
+
+    save_dir = increment_path(Path(opt.project) / opt.name, opt.exist_ok)
+    (save_dir / "labels" if opt.save_txt else save_dir).mkdir(parents=True,
+                                                              exist_ok=True)
+    det = Detector.from_checkpoint(
+        opt.weights, cfg=opt.cfg, img_size=opt.img_size,
+        conf_thres=opt.conf_thres, iou_thres=opt.iou_thres,
+        classes=opt.classes, agnostic=opt.agnostic_nms, fuse=not opt.no_fuse)
+    names = det.plan.names
+
+    webcam = opt.source.isnumeric() or opt.source.endswith(".txt") or \
+        opt.source.lower().startswith(("rtsp://", "rtmp://", "http://", "https://"))
+    if webcam and opt.source.isnumeric():
+        dataset = LoadWebcam(opt.source, img_size=opt.img_size)
+    elif webcam:
+        dataset = LoadStreams(opt.source, img_size=opt.img_size)
+    else:
+        dataset = LoadImages(opt.source, img_size=opt.img_size)
+
+    vid_writer, vid_path = None, None
+    t_total = 0.0
+    n_frames = 0
+    for path, img, im0s, cap, ratio, dwdh in dataset:
+        im0_list = im0s if isinstance(im0s, list) else [im0s]
+        t0 = time.perf_counter()
+        results = det(im0_list if len(im0_list) > 1 else im0_list[0])
+        t_total += time.perf_counter() - t0
+        n_frames += len(im0_list)
+        if isinstance(results, np.ndarray):
+            results = [results]
+        for i, (im0, d) in enumerate(zip(im0_list, results)):
+            p = Path(path[i] if isinstance(path, list) else path)
+            msg = f"{p.name}: {len(d)} detections"
+            if opt.save_txt:
+                h0, w0 = im0.shape[:2]
+                lines = []
+                for *xyxy, conf, cls in d:
+                    cx = (xyxy[0] + xyxy[2]) / 2 / w0
+                    cy = (xyxy[1] + xyxy[3]) / 2 / h0
+                    bw = (xyxy[2] - xyxy[0]) / w0
+                    bh = (xyxy[3] - xyxy[1]) / h0
+                    row = [int(cls), cx, cy, bw, bh] + (
+                        [conf] if opt.save_conf else [])
+                    lines.append(" ".join(f"{v:g}" for v in row))
+                (save_dir / "labels" / f"{p.stem}.txt").write_text(
+                    "\n".join(lines))
+            if not opt.nosave:
+                draw_detections(im0, d, names)
+                if dataset.mode == "image":
+                    cv2.imwrite(str(save_dir / p.name), im0)
+                else:
+                    save_path = str(save_dir / (p.stem + ".mp4"))
+                    if vid_path != save_path:
+                        vid_path = save_path
+                        if vid_writer is not None:
+                            vid_writer.release()
+                        fps = cap.get(cv2.CAP_PROP_FPS) if cap else 30
+                        h, w = im0.shape[:2]
+                        vid_writer = cv2.VideoWriter(
+                            save_path, cv2.VideoWriter_fourcc(*"mp4v"),
+                            fps or 30, (w, h))
+                    vid_writer.write(im0)
+            print(msg)
+    if vid_writer is not None:
+        vid_writer.release()
+    if n_frames:
+        print(f"done: {n_frames} frames, {1e3 * t_total / n_frames:.1f} ms/frame"
+              f" -> results saved to {save_dir}")
+
+
+def make_parser():
+    p = argparse.ArgumentParser("yolo-series-tpu detect")
+    p.add_argument("--weights", type=str, required=True,
+                   help=".ckpt (native) or .pt (reference import, needs --cfg)")
+    p.add_argument("--cfg", type=str, default=None)
+    p.add_argument("--source", type=str, default="inference/images")
+    p.add_argument("--img-size", type=int, default=640)
+    p.add_argument("--conf-thres", type=float, default=0.25)
+    p.add_argument("--iou-thres", type=float, default=0.45)
+    p.add_argument("--classes", nargs="+", type=int, default=None)
+    p.add_argument("--agnostic-nms", action="store_true")
+    p.add_argument("--save-txt", action="store_true")
+    p.add_argument("--save-conf", action="store_true")
+    p.add_argument("--nosave", action="store_true")
+    p.add_argument("--no-fuse", action="store_true")
+    p.add_argument("--project", default="runs/detect")
+    p.add_argument("--name", default="exp")
+    p.add_argument("--exist-ok", action="store_true")
+    return p
+
+
+def main():
+    detect(make_parser().parse_args())
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,98 @@
+"""Evaluation CLI (the test.py equivalent, reference test.py:291-354).
+
+python -m yolo_series_tpu.cli.test --weights best.ckpt --data coco.yaml \
+    --img-size 640 --batch-size 16 --conf-thres 0.001 --iou-thres 0.65
+
+--task speed runs the timing protocol; --task study sweeps image sizes
+(reference test.py:337-354).
+"""
+
+from __future__ import annotations
+
+import argparse
+from pathlib import Path
+
+import numpy as np
+import yaml
+
+
+def run_eval(opt, img_size=None):
+    import jax.numpy as jnp
+
+    from yolo_series_tpu.data.datasets import DetectionDataset, create_loader
+    from yolo_series_tpu.eval.evaluator import evaluate
+    from yolo_series_tpu.models.reparam import fuse_model
+    from yolo_series_tpu.train.checkpoints import load_checkpoint_any
+
+    img_size = img_size or opt.img_size
+    with open(opt.data) as f:
+        data = yaml.safe_load(f)
+    names = data.get("names", ())
+
+    plan, params, state = load_checkpoint_any(opt.weights, opt.cfg)
+    if not opt.no_fuse:
+        params, state = fuse_model(plan, params, state)
+
+    ds = DetectionDataset(
+        data["val"], img_size=img_size, batch_size=opt.batch_size,
+        augment=False, rect=not opt.no_rect, stride=int(max(plan.strides)),
+        pad=0.5,
+        kind="human" if data.get("dataset") == "human" else "coco",
+        odgt_paths=[p for p in [data.get("valid_crowd_human_label_path")] if p],
+        xml_dir=data.get("safety_helmet_label_path"),
+        cut_max_len=int(data.get("cut_max_len", -1)))
+    loader = create_loader(ds, batch_size=opt.batch_size, shuffle=False,
+                           max_labels=opt.max_labels, drop_last=False)
+
+    res = evaluate(
+        plan, params, state, loader, conf_thres=opt.conf_thres,
+        iou_thres=opt.iou_thres, names=names, verbose=opt.verbose,
+        confusion=opt.plots,
+        compute_dtype=jnp.bfloat16 if opt.half else jnp.float32,
+        save_json=str(Path(opt.project) / "predictions.json")
+        if opt.save_json else None,
+        v5_metric=opt.v5_metric)
+    print(f"images={res['seen']} P={res['mp']:.4f} R={res['mr']:.4f} "
+          f"mAP@.5={res['map50']:.4f} mAP@.5:.95={res['map']:.4f} "
+          f"({res['speed_ms']['inference']:.1f}ms inf "
+          f"{res['speed_ms']['nms']:.1f}ms nms /img)")
+    if opt.plots and "confusion" in res:
+        Path(opt.project).mkdir(parents=True, exist_ok=True)
+        res["confusion"].plot(save_dir=opt.project, names=names)
+    return res
+
+
+def main():
+    p = argparse.ArgumentParser("yolo-series-tpu test")
+    p.add_argument("--weights", type=str, required=True)
+    p.add_argument("--cfg", type=str, default=None)
+    p.add_argument("--data", type=str, required=True)
+    p.add_argument("--img-size", type=int, default=640)
+    p.add_argument("--batch-size", type=int, default=16)
+    p.add_argument("--conf-thres", type=float, default=0.001)
+    p.add_argument("--iou-thres", type=float, default=0.65)
+    p.add_argument("--max-labels", type=int, default=256)
+    p.add_argument("--task", default="val", choices=["val", "test", "speed", "study"])
+    p.add_argument("--half", action="store_true")
+    p.add_argument("--no-rect", action="store_true")
+    p.add_argument("--no-fuse", action="store_true")
+    p.add_argument("--save-json", action="store_true")
+    p.add_argument("--v5-metric", action="store_true")
+    p.add_argument("--verbose", action="store_true")
+    p.add_argument("--plots", action="store_true")
+    p.add_argument("--project", default="runs/test")
+    opt = p.parse_args()
+
+    if opt.task == "speed":
+        opt.conf_thres, opt.iou_thres, opt.save_json = 0.25, 0.45, False
+        run_eval(opt)
+    elif opt.task == "study":
+        for sz in range(256, 1536 + 128, 128):  # reference test.py:341-354
+            res = run_eval(opt, img_size=sz)
+            print(f"study img={sz} map={res['map']:.4f}")
+    else:
+        run_eval(opt)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,75 @@
+"""Training CLI (the train.py / train_aux.py equivalent).
+
+python -m yolo_series_tpu.cli.train --cfg <model.yaml> --data <data.yaml> \
+    --hyp <hyp.yaml> --epochs 300 --batch-size 16 --img-size 640
+
+The aux-head path (reference train_aux.py) needs no separate script: a cfg
+with IAuxDetect selects ComputeLossAuxOTA automatically.
+"""
+
+from __future__ import annotations
+
+import argparse
+from pathlib import Path
+
+from yolo_series_tpu.cli.detect import increment_path
+
+
+def make_parser():
+    p = argparse.ArgumentParser("yolo-series-tpu train")
+    p.add_argument("--cfg", type=str, required=True, help="model yaml")
+    p.add_argument("--data", type=str, required=True, help="dataset yaml")
+    p.add_argument("--hyp", type=str, default=None, help="hyperparameter yaml")
+    p.add_argument("--weights", type=str, default="", help="initial weights")
+    p.add_argument("--resume", nargs="?", const="auto", default="",
+                   help="resume from checkpoint (or newest run)")
+    p.add_argument("--epochs", type=int, default=300)
+    p.add_argument("--batch-size", type=int, default=16)
+    p.add_argument("--img-size", type=int, default=640)
+    p.add_argument("--rect", action="store_true")
+    p.add_argument("--adam", action="store_true")
+    p.add_argument("--linear-lr", action="store_true")
+    p.add_argument("--label-smoothing", type=float, default=0.0)
+    p.add_argument("--max-labels", type=int, default=256)
+    p.add_argument("--noval", action="store_true")
+    p.add_argument("--save-period", type=int, default=25)
+    p.add_argument("--devices", type=int, default=None,
+                   help="data-parallel device count (default: all)")
+    p.add_argument("--project", default="runs/train")
+    p.add_argument("--name", default="exp")
+    p.add_argument("--exist-ok", action="store_true")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--evolve", action="store_true",
+                   help="hyperparameter evolution (GA)")
+    p.add_argument("--evolve-gens", type=int, default=300)
+    return p
+
+
+def main():
+    opt = make_parser().parse_args()
+    from yolo_series_tpu.train.trainer import TrainConfig, train
+    from yolo_series_tpu.train.checkpoints import get_latest_run
+
+    resume = opt.resume
+    if resume == "auto":
+        resume = get_latest_run(opt.project)
+        assert resume, f"no last.ckpt found under {opt.project}"
+
+    save_dir = increment_path(Path(opt.project) / opt.name, opt.exist_ok)
+    tc = TrainConfig(
+        cfg=opt.cfg, data=opt.data, hyp=opt.hyp, epochs=opt.epochs,
+        batch_size=opt.batch_size, img_size=opt.img_size,
+        weights=opt.weights, resume=resume, save_dir=str(save_dir),
+        adam=opt.adam, linear_lr=opt.linear_lr, rect=opt.rect,
+        label_smoothing=opt.label_smoothing, max_labels=opt.max_labels,
+        noval=opt.noval, save_period=opt.save_period, seed=opt.seed,
+        n_data_devices=opt.devices)
+    if opt.evolve:
+        from yolo_series_tpu.train.evolve import evolve
+        evolve(tc, generations=opt.evolve_gens)
+    else:
+        train(tc)
+
+
+if __name__ == "__main__":
+    main()

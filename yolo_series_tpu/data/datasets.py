@@ -1,0 +1,442 @@
+"""Dataset scan, label cache, augmentation pipeline, batched loader.
+
+TPU-first re-design of the reference data pipeline (utils/datasets.py):
+  * same on-disk conventions — COCO-YOLO /images/->/labels/ txt layout,
+    CrowdHuman .odgt + SHEL VOC xml joint "human" datasets with
+    `cut_max_len` (datasets.py:595-597, 790-795), label caches, rect
+    batching, mosaic/mixup/perspective/HSV/paste-in augmentation;
+  * but batches come out PADDED AND STATIC: (B, H, W, 3) uint8 RGB and
+    (B, max_labels, 5) [cls, x, y, w, h] normalized + (B, max_labels)
+    mask — ready for one jitted train step, no variable-length collate;
+  * a background-thread prefetcher replaces torch DataLoader workers.
+"""
+
+from __future__ import annotations
+
+import glob
+import hashlib
+import os
+import pickle
+import random
+import threading
+import queue as queue_mod
+from pathlib import Path
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import cv2
+import numpy as np
+
+from yolo_series_tpu.data import augment as A
+from yolo_series_tpu.data.parsers import (
+    crowdhuman_labels, img2label_paths, parse_crowdhuman_odgt, parse_shel_xml,
+    parse_yolo_txt, shel_labels,
+)
+
+IMG_FORMATS = ("bmp", "jpg", "jpeg", "png", "tif", "tiff", "dng", "webp", "mpo")
+CACHE_VERSION = "ystpu-0.2"
+
+DEFAULT_HYP = {
+    "hsv_h": 0.015, "hsv_s": 0.7, "hsv_v": 0.4, "degrees": 0.0,
+    "translate": 0.2, "scale": 0.9, "shear": 0.0, "perspective": 0.0,
+    "flipud": 0.0, "fliplr": 0.5, "mosaic": 1.0, "mixup": 0.15,
+    "copy_paste": 0.0, "paste_in": 0.15,
+}
+
+
+def _scan_img_files(path) -> List[str]:
+    """Dir / txt-list / glob / list-of-those -> sorted image files
+    (reference datasets.py:381-400)."""
+    files: List[str] = []
+    for p in path if isinstance(path, (list, tuple)) else [path]:
+        p = Path(p)
+        if p.is_dir():
+            files += glob.glob(str(p / "**" / "*.*"), recursive=True)
+        elif p.is_file() and p.suffix == ".txt":
+            parent = str(p.parent) + os.sep
+            with open(p) as f:
+                for x in f.read().strip().splitlines():
+                    x = x.strip()
+                    if x.startswith("./"):
+                        x = parent + x[2:]
+                    files.append(x)
+        elif p.is_file():
+            files.append(str(p))
+        else:
+            raise FileNotFoundError(f"{p} does not exist")
+    return sorted(x.replace("/", os.sep) for x in files
+                  if x.split(".")[-1].lower() in IMG_FORMATS)
+
+
+def _image_shape(path) -> Tuple[int, int]:
+    """(w, h) with EXIF rotation respected (reference exif_size)."""
+    from PIL import Image
+
+    with Image.open(path) as im:
+        s = im.size
+        try:
+            rot = dict(im.getexif()).get(274)
+            if rot in (6, 8):
+                s = (s[1], s[0])
+        except Exception:
+            pass
+        return s
+
+
+def build_label_cache(im_files: Sequence[str], *, kind: str = "coco",
+                      odgt_paths: Sequence[str] = (),
+                      xml_dir: Optional[str] = None,
+                      cut_max_len: int = -1,
+                      cache_path: Optional[str] = None,
+                      prefix: str = "") -> Dict:
+    """Scan labels for every image -> {im_file: (labels, (w, h), segments)}.
+
+    kind='coco': per-image YOLO txt (reference datasets.py:599-647).
+    kind='human': joint CrowdHuman(.odgt) + SHEL(xml) labels with the
+    cut_max_len image-drop rule (reference datasets.py:649-803).
+    """
+    key = hashlib.md5(("|".join(im_files) + f"{kind}{cut_max_len}").encode()
+                     ).hexdigest()
+    if cache_path and os.path.isfile(cache_path):
+        with open(cache_path, "rb") as f:
+            cache = pickle.load(f)
+        if cache.get("version") == CACHE_VERSION and cache.get("key") == key:
+            return cache
+    human_dict: Dict[str, list] = {}
+    shel_dict: Dict[str, list] = {}
+    if kind == "human":
+        human_dict = parse_crowdhuman_odgt(odgt_paths)
+        if xml_dir:
+            xmls = glob.glob(os.path.join(xml_dir, "**", "*.xml"), recursive=True)
+            shel_dict = parse_shel_xml(xmls)
+
+    items: Dict[str, tuple] = {}
+    stats = {"found": 0, "missing": 0, "empty": 0, "corrupt": 0,
+             "max_label_len": 0, "cut_crowd_human_num": 0,
+             "cut_safety_helmet_num": 0}
+    label_files = img2label_paths(im_files)
+    for im_file, lb_file in zip(im_files, label_files):
+        try:
+            w, h = _image_shape(im_file)
+            assert (w > 9) and (h > 9), f"image size {w}x{h} < 10 pixels"
+            segments: list = []
+            if kind == "coco":
+                labels, segments = parse_yolo_txt(lb_file)
+                if os.path.isfile(lb_file):
+                    stats["found" if len(labels) else "empty"] += 1
+                else:
+                    stats["missing"] += 1
+            else:
+                stem = Path(im_file).stem
+                is_crowd = "CrowdHuman" in im_file or stem in human_dict
+                if is_crowd and stem in human_dict:
+                    labels = crowdhuman_labels(human_dict[stem], w, h)
+                    src = "crowd"
+                elif stem in shel_dict:
+                    labels = shel_labels(shel_dict[stem], w, h)
+                    src = "shel"
+                else:
+                    labels = np.zeros((0, 5), np.float32)
+                    src = "none"
+                stats["max_label_len"] = max(stats["max_label_len"], len(labels))
+                if len(labels) == 0:
+                    stats["empty"] += 1
+                    continue
+                if cut_max_len != -1 and len(labels) > cut_max_len:
+                    # drop over-dense images entirely (reference
+                    # datasets.py:790-795 — the fork's OTA-OOM mitigation)
+                    stats["cut_crowd_human_num" if src == "crowd"
+                          else "cut_safety_helmet_num"] += 1
+                    continue
+                stats["found"] += 1
+            items[im_file] = (labels, (w, h), segments)
+        except Exception as e:  # noqa: BLE001
+            stats["corrupt"] += 1
+            print(f"{prefix}WARNING: ignoring corrupt image/label {im_file}: {e}")
+
+    cache = {"version": CACHE_VERSION, "key": key, "items": items,
+             "stats": stats}
+    if cache_path:
+        os.makedirs(os.path.dirname(os.path.abspath(cache_path)), exist_ok=True)
+        with open(cache_path, "wb") as f:
+            pickle.dump(cache, f)
+    return cache
+
+
+class DetectionDataset:
+    """Map-style dataset yielding augmented (img RGB uint8 HWC, labels)."""
+
+    def __init__(self, path, img_size=640, batch_size=16, augment=False,
+                 hyp: Optional[dict] = None, rect=False, image_weights=False,
+                 stride=32, pad=0.0, kind="coco", odgt_paths=(),
+                 xml_dir=None, cut_max_len=-1, cache_path=None, prefix=""):
+        self.img_size = img_size
+        self.augment = augment
+        self.hyp = dict(DEFAULT_HYP, **(hyp or {}))
+        self.rect = rect and not image_weights
+        self.stride = stride
+        self.pad = pad
+        self.mosaic = augment and not rect
+        self.mosaic_border = [-img_size // 2, -img_size // 2]
+
+        im_files = _scan_img_files(path)
+        assert im_files, f"no images found in {path}"
+        if cache_path is None and isinstance(path, str) and path.endswith(".txt"):
+            cache_path = path.rsplit(".", 1)[0] + ".ystpu.cache"
+        cache = build_label_cache(
+            im_files, kind=kind, odgt_paths=odgt_paths, xml_dir=xml_dir,
+            cut_max_len=cut_max_len, cache_path=cache_path, prefix=prefix)
+        items = cache["items"]
+        self.stats = cache["stats"]
+        if kind == "human":
+            # dropped / empty images are removed from the epoch entirely
+            im_files = [f for f in im_files if f in items]
+        self.im_files = im_files
+        self.labels = [items.get(f, (np.zeros((0, 5), np.float32), None, []))[0]
+                       for f in im_files]
+        self.shapes = np.array(
+            [items.get(f, (None, (1, 1), None))[1] or (1, 1) for f in im_files],
+            np.float64)  # (w, h)
+        self.segments = [items.get(f, (None, None, []))[2] for f in im_files]
+        n = len(im_files)
+        self.indices = np.arange(n)
+        self.batch_index = np.floor(np.arange(n) / batch_size).astype(int)
+
+        if self.rect:
+            # aspect-ratio sort + per-batch shapes (reference
+            # datasets.py:467-490)
+            ar = self.shapes[:, 1] / self.shapes[:, 0]
+            irect = ar.argsort()
+            self.im_files = [self.im_files[i] for i in irect]
+            self.labels = [self.labels[i] for i in irect]
+            self.segments = [self.segments[i] for i in irect]
+            self.shapes = self.shapes[irect]
+            ar = ar[irect]
+            nb = self.batch_index[-1] + 1
+            shapes = []
+            for i in range(nb):
+                ari = ar[self.batch_index == i]
+                mini, maxi = ari.min(), ari.max()
+                if maxi < 1:
+                    shapes.append([maxi, 1])
+                elif mini > 1:
+                    shapes.append([1, 1 / mini])
+                else:
+                    shapes.append([1, 1])
+            self.batch_shapes = np.ceil(
+                np.array(shapes) * img_size / stride + pad).astype(int) * stride
+
+    def __len__(self):
+        return len(self.im_files)
+
+    # -- image io ---------------------------------------------------------
+
+    def load_image(self, i):
+        """Read + resize long side to img_size (reference datasets.py:959)."""
+        path = self.im_files[i]
+        img = cv2.imread(path)
+        assert img is not None, f"image not found {path}"
+        h0, w0 = img.shape[:2]
+        r = self.img_size / max(h0, w0)
+        if r != 1:
+            interp = cv2.INTER_AREA if r < 1 and not self.augment else cv2.INTER_LINEAR
+            img = cv2.resize(img, (int(w0 * r), int(h0 * r)), interpolation=interp)
+        return img, (h0, w0), img.shape[:2]
+
+    def _labels_xyxy(self, i, ratio_w, ratio_h, padw, padh):
+        """Stored normalized cls-xywh -> pixel cls-xyxy for a placed image."""
+        lb = self.labels[i]
+        out = lb.copy()
+        if len(lb):
+            out[:, 1] = ratio_w * (lb[:, 1] - lb[:, 3] / 2) + padw
+            out[:, 2] = ratio_h * (lb[:, 2] - lb[:, 4] / 2) + padh
+            out[:, 3] = ratio_w * (lb[:, 1] + lb[:, 3] / 2) + padw
+            out[:, 4] = ratio_h * (lb[:, 2] + lb[:, 4] / 2) + padh
+        return out
+
+    def _load_mosaic(self, index, nine=False):
+        k = 8 if nine else 3
+        idxs = [index] + random.choices(range(len(self)), k=k)
+        random.shuffle(idxs)
+        imgs, lbs = [], []
+        for i in idxs:
+            img, _, (h, w) = self.load_image(i)
+            imgs.append(img)
+            lbs.append(self._labels_xyxy(i, w, h, 0, 0))
+        fn = A.mosaic9 if nine else A.mosaic4
+        canvas, labels = fn(imgs, lbs, self.img_size, random)
+        segments: list = []
+        canvas, labels, segments = A.copy_paste(
+            canvas, labels, segments, p=self.hyp["copy_paste"], rng=random)
+        canvas, labels = A.random_perspective(
+            canvas, labels, segments,
+            degrees=self.hyp["degrees"], translate=self.hyp["translate"],
+            scale=self.hyp["scale"], shear=self.hyp["shear"],
+            perspective=self.hyp["perspective"], border=self.mosaic_border,
+            rng=random)
+        return canvas, labels
+
+    def _sample_segments(self, n_needed=30):
+        """Collect paste-in samples (cls, crop, mask) from segmented labels
+        (reference load_samples/sample_segments, datasets.py:1136-1257)."""
+        samples = []
+        tries = 0
+        while len(samples) < n_needed and tries < n_needed * 2:
+            tries += 1
+            i = random.randint(0, len(self) - 1)
+            segs = self.segments[i]
+            if not segs:
+                continue
+            img, _, (h, w) = self.load_image(i)
+            lb = self._labels_xyxy(i, w, h, 0, 0)
+            for j, seg in enumerate(segs[: max(1, n_needed - len(samples))]):
+                seg_px = (seg * [w, h]).astype(np.int32)
+                x1, y1 = seg_px.min(0)
+                x2, y2 = seg_px.max(0)
+                if x2 - x1 < 10 or y2 - y1 < 10:
+                    continue
+                mask = np.zeros((h, w), np.uint8)
+                cv2.drawContours(mask, [seg_px], -1, 255, cv2.FILLED)
+                samples.append((lb[j, 0] if j < len(lb) else 0,
+                                img[y1:y2, x1:x2].copy(),
+                                mask[y1:y2, x1:x2].copy()))
+        return samples
+
+    # -- item -------------------------------------------------------------
+
+    def __getitem__(self, index):
+        """Returns (img RGB uint8 HWC, labels (n, 5) cls + normalized xywh,
+        path, shapes_for_rescale)."""
+        hyp = self.hyp
+        if self.mosaic and random.random() < hyp["mosaic"]:
+            nine = random.random() >= 0.8  # 80% 4-tile (reference :831-836)
+            img, labels = self._load_mosaic(index, nine=nine)
+            shapes = None
+            if random.random() < hyp["mixup"]:
+                img2, labels2 = self._load_mosaic(
+                    random.randint(0, len(self) - 1),
+                    nine=random.random() >= 0.8)
+                img, labels = A.mixup(img, labels, img2, labels2)
+        else:
+            img, (h0, w0), (h, w) = self.load_image(index)
+            shape = (self.batch_shapes[self.batch_index[index]]
+                     if self.rect else self.img_size)
+            img, ratio, pad = A.letterbox(img, shape, auto=False,
+                                          scaleup=self.augment)
+            shapes = (h0, w0), ((h / h0 * ratio[1], w / w0 * ratio[0]), pad)
+            labels = self._labels_xyxy(index, ratio[0] * w, ratio[1] * h,
+                                       pad[0], pad[1])
+            if self.augment:
+                img, labels = A.random_perspective(
+                    img, labels, degrees=hyp["degrees"],
+                    translate=hyp["translate"], scale=hyp["scale"],
+                    shear=hyp["shear"], perspective=hyp["perspective"],
+                    rng=random)
+
+        if self.augment:
+            A.augment_hsv(img, hyp["hsv_h"], hyp["hsv_s"], hyp["hsv_v"], random)
+            if random.random() < hyp.get("paste_in", 0):
+                samples = self._sample_segments(30)
+                if samples:
+                    img, labels = A.pastein(img, labels, samples, random)
+
+        n = len(labels)
+        out = np.zeros((n, 5), np.float32)
+        if n:
+            h_img, w_img = img.shape[:2]
+            out[:, 0] = labels[:, 0]
+            out[:, 1] = ((labels[:, 1] + labels[:, 3]) / 2) / w_img
+            out[:, 2] = ((labels[:, 2] + labels[:, 4]) / 2) / h_img
+            out[:, 3] = (labels[:, 3] - labels[:, 1]) / w_img
+            out[:, 4] = (labels[:, 4] - labels[:, 2]) / h_img
+
+        if self.augment:
+            if random.random() < hyp["flipud"]:
+                img = np.flipud(img)
+                if n:
+                    out[:, 2] = 1 - out[:, 2]
+            if random.random() < hyp["fliplr"]:
+                img = np.fliplr(img)
+                if n:
+                    out[:, 1] = 1 - out[:, 1]
+
+        img = np.ascontiguousarray(img[:, :, ::-1])  # BGR -> RGB, HWC
+        return img, out, self.im_files[index], shapes
+
+
+def pad_labels(label_list: Sequence[np.ndarray], max_labels: int):
+    """List of (n_i, 5) -> ((B, max_labels, 5), (B, max_labels) mask).
+    Overflow keeps the largest-area boxes."""
+    b = len(label_list)
+    out = np.zeros((b, max_labels, 5), np.float32)
+    mask = np.zeros((b, max_labels), bool)
+    for i, lb in enumerate(label_list):
+        n = len(lb)
+        if n > max_labels:
+            order = np.argsort(-(lb[:, 3] * lb[:, 4]))
+            lb = lb[order[:max_labels]]
+            n = max_labels
+        out[i, :n] = lb
+        mask[i, :n] = True
+    return out, mask
+
+
+class create_loader:
+    """Batched iterator with a background prefetch thread.
+
+    Yields dicts {images (B, H, W, 3) uint8 RGB, labels (B, M, 5),
+    label_mask (B, M), paths, shapes}. `quad` is intentionally unsupported —
+    the reference's quad collate (datasets.py:931) is a memory trick for
+    GPU DDP that static-shape TPU batching doesn't need.
+    """
+
+    def __init__(self, dataset: DetectionDataset, batch_size=16,
+                 shuffle=True, max_labels=256, drop_last=True, seed=0,
+                 prefetch=2, epoch_fn=None):
+        self.ds = dataset
+        self.bs = batch_size
+        self.shuffle = shuffle
+        self.max_labels = max_labels
+        self.drop_last = drop_last
+        self.seed = seed
+        self.epoch = 0
+        self.prefetch = prefetch
+
+    def __len__(self):
+        n = len(self.ds)
+        return n // self.bs if self.drop_last else (n + self.bs - 1) // self.bs
+
+    def _make_batch(self, idxs):
+        items = [self.ds[i] for i in idxs]
+        imgs = np.stack([it[0] for it in items])
+        labels, mask = pad_labels([it[1] for it in items], self.max_labels)
+        return {"images": imgs, "labels": labels, "label_mask": mask,
+                "paths": [it[2] for it in items],
+                "shapes": [it[3] for it in items]}
+
+    def __iter__(self):
+        n = len(self.ds)
+        order = np.arange(n)
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + self.epoch)
+            rng.shuffle(order)
+        self.epoch += 1
+        nb = len(self)
+        batches = [order[i * self.bs:(i + 1) * self.bs] for i in range(nb)]
+
+        q: queue_mod.Queue = queue_mod.Queue(maxsize=self.prefetch)
+        stop = object()
+
+        def worker():
+            try:
+                for idxs in batches:
+                    q.put(self._make_batch(idxs))
+            finally:
+                q.put(stop)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is stop:
+                break
+            yield item

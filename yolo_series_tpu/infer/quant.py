@@ -1,0 +1,160 @@
+"""INT8 quantized inference — the TensorRT-INT8 path equivalent.
+
+The reference reaches INT8 through TRT calibration (README.md:192-228,
+external tensorrt-python). Here quantization is a pure pytree transform on
+the FUSED deploy params (models/reparam.fuse_model first):
+
+  * weights: per-output-channel symmetric int8 (scale = absmax / 127);
+  * activations: per-tensor symmetric int8 with scales baked from a
+    calibration pass (`calibrate`) over representative batches — absmax or
+    percentile observers; falls back to in-graph dynamic scales when no
+    calibration is provided;
+  * convs run int8 x int8 -> int32 on the MXU
+    (lax.conv_general_dilated with preferred_element_type=int32),
+    dequantize + bias + activation fused after.
+
+The quantized tree swaps {w} -> {wq, sw[, sx]} and the standard block
+apply functions (models/layers.py) take the int8 path automatically.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from yolo_series_tpu.models import heads as H
+from yolo_series_tpu.models import layers as L
+from yolo_series_tpu.models.graph import GraphPlan
+
+
+def quantize_weight(w: jnp.ndarray):
+    """HWIO fp32 -> (int8 weights, per-out-channel scale (O,))."""
+    absmax = jnp.max(jnp.abs(w), axis=(0, 1, 2))
+    sw = jnp.maximum(absmax / 127.0, 1e-8)
+    wq = jnp.clip(jnp.round(w / sw), -127, 127).astype(jnp.int8)
+    return wq, sw
+
+
+def _quantize_conv_leaf(params: Dict[str, Any], act_scale=None):
+    assert "w" in params and "b" in params, "quantize fused params only"
+    wq, sw = quantize_weight(params["w"])
+    out = {"wq": wq, "sw": sw, "b": params["b"]}
+    if act_scale is not None:
+        out["sx"] = jnp.asarray(act_scale, jnp.float32)
+    return out
+
+
+def quantize_tree(block, params, act_scales: Optional[Dict[int, float]] = None,
+                  _path=""):
+    """Recursively quantize all conv leaves of a fused param tree."""
+    if isinstance(block, (L.ConvBnAct, L.Focus, L.RepConv, L.PlainConv)):
+        scale = act_scales.get(_path) if act_scales else None
+        return _quantize_conv_leaf(params, scale)
+    if isinstance(block, L.Composite):
+        out = {}
+        for name, child in block.children().items():
+            out[name] = quantize_tree(child, params[name], act_scales,
+                                      f"{_path}/{name}")
+        return out
+    return params
+
+
+def quantize_model(plan: GraphPlan, params, state,
+                   act_scales: Optional[Dict[str, float]] = None):
+    """Quantize a FUSED model's conv weights; heads stay fp (the reference
+    TRT engines also keep the detect layer fp16, export_onnx.py)."""
+    lp = params["layers"]
+    new = []
+    for idx, spec in enumerate(plan.layers):
+        if spec.is_head:
+            new.append(lp[idx])
+        elif spec.n_seq > 1:
+            new.append([quantize_tree(spec.block, lp[idx][r], act_scales,
+                                      f"l{idx}.{r}")
+                        for r in range(spec.n_seq)])
+        else:
+            new.append(quantize_tree(spec.block, lp[idx], act_scales,
+                                     f"l{idx}"))
+    return {"layers": new}, state
+
+
+def int8_conv(x, wq, sw, b, stride, padding, groups, sx=None):
+    """Quantized conv: int8 x int8 -> int32, dequant, bias.
+
+    x: fp activations; sx: static per-tensor scale (calibrated) or None for
+    in-graph dynamic absmax.
+    """
+    if sx is None:
+        sx = jax.lax.stop_gradient(
+            jnp.maximum(jnp.max(jnp.abs(x)) / 127.0, 1e-8))
+    xq = jnp.clip(jnp.round(x / sx), -127, 127).astype(jnp.int8)
+    if isinstance(padding, int):
+        pad = [(padding, padding), (padding, padding)]
+    elif isinstance(padding, (tuple, list)) and padding and isinstance(padding[0], int):
+        pad = [(padding[0], padding[0]), (padding[1], padding[1])]
+    else:
+        pad = padding
+    dn = jax.lax.conv_dimension_numbers(xq.shape, wq.shape,
+                                        ("NHWC", "HWIO", "NHWC"))
+    acc = jax.lax.conv_general_dilated(
+        xq, wq, window_strides=(stride, stride), padding=pad,
+        dimension_numbers=dn, feature_group_count=groups,
+        preferred_element_type=jnp.int32)
+    y = acc.astype(jnp.float32) * (sx * sw) + b
+    return y
+
+
+def calibrate(plan: GraphPlan, params, state, batches: Sequence[np.ndarray],
+              percentile: float = 99.99) -> Dict[str, float]:
+    """Collect per-conv input activation scales over calibration batches.
+
+    Runs the fp model layer-by-layer, recording each conv input's
+    |x| percentile — the calibration role of TRT's Int8EntropyCalibrator.
+    Returns {path: scale} for quantize_model.
+    """
+    from yolo_series_tpu.models.layers import Ctx
+
+    records: Dict[str, List[float]] = {}
+
+    def observe(path, x):
+        v = float(np.percentile(np.abs(np.asarray(x)), percentile))
+        records.setdefault(path, []).append(v)
+
+    def run_block(block, p, s, x, ctx, path):
+        if isinstance(block, (L.ConvBnAct, L.Focus, L.RepConv, L.PlainConv)):
+            observe(path, x)
+            return block.apply(p, s, x, ctx)
+        if isinstance(block, L.Composite):
+            # run composite normally but observe top-level input only
+            observe(path, x)
+            return block.apply(p, s, x, ctx)
+        return block.apply(p, s, x, ctx)
+
+    ctx = Ctx(training=False, dtype=jnp.float32)
+    for xb in batches:
+        x = jnp.asarray(xb, jnp.float32)
+        saved = {}
+        y = x
+        lp, ls = params["layers"], state["layers"]
+        for idx, spec in enumerate(plan.layers):
+            if isinstance(spec.frm, tuple):
+                inp = [y if j == -1 else saved[j] for j in spec.frm]
+            else:
+                inp = y if spec.frm == -1 else saved[spec.frm]
+            if spec.is_head:
+                break
+            if spec.n_seq > 1:
+                cur = inp
+                for r in range(spec.n_seq):
+                    cur, _ = run_block(spec.block, lp[idx][r], ls[idx][r],
+                                       cur, ctx, f"l{idx}.{r}")
+                y = cur
+            else:
+                y, _ = run_block(spec.block, lp[idx], ls[idx], inp, ctx,
+                                 f"l{idx}")
+            if idx in plan.save:
+                saved[idx] = y
+    return {k: max(max(v) / 127.0, 1e-8) for k, v in records.items()}

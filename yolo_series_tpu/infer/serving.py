@@ -1,0 +1,134 @@
+"""Batched serving engine — the TensorRT/Triton replacement.
+
+Replaces the reference deployment chain (export_onnx.py -> TRT engine ->
+Triton server, SURVEY.md §2.8.5) with an AOT-compiled XLA executable:
+
+  * fixed (batch, size) forward + decode + on-TPU NMS in one program,
+    compiled ahead of time via jit(...).lower(...).compile();
+  * response contract identical to the Triton client's
+    (deploy/triton-inference-server/client.py:15-16):
+    num_dets (B, 1), det_boxes (B, max_det, 4), det_scores (B, max_det),
+    det_classes (B, max_det);
+  * optional dynamic batching: a queue micro-batcher that pads partial
+    batches (the Triton `dynamic_batching` behavior that doubled reference
+    throughput, deploy README.md:115-122);
+  * bf16 weights path; int8 via infer/quant.py.
+"""
+
+from __future__ import annotations
+
+import functools
+import queue as queue_mod
+import threading
+import time
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from yolo_series_tpu.models.model import apply_model
+from yolo_series_tpu.ops.nms import _single_image_nms
+
+
+class ServingEngine:
+    """AOT-compiled fixed-shape end-to-end detector."""
+
+    def __init__(self, plan, params, state, *, batch_size=8, img_size=640,
+                 conf_thres=0.25, iou_thres=0.45, max_det=100,
+                 dtype=jnp.bfloat16, max_nms=1024):
+        self.plan = plan
+        self.batch_size = batch_size
+        self.img_size = img_size
+        self.max_det = max_det
+
+        nms_fn = functools.partial(
+            _single_image_nms, conf_thres=conf_thres, iou_thres=iou_thres,
+            multi_label=False, agnostic=False, max_det=max_det,
+            max_nms=max_nms, max_wh=4096.0, nc=plan.nc, tile=256,
+            class_mask=None)
+
+        def end2end(params, state, x):
+            # x: (B, H, W, 3) uint8 RGB; normalization fused on device
+            xf = x.astype(dtype) / jnp.asarray(255.0, dtype)
+            out, _ = apply_model(plan, params, state, xf, training=False,
+                                 dtype=dtype)
+            num, boxes, scores, cls = jax.vmap(nms_fn)(
+                out["pred"].astype(jnp.float32))
+            return {"num_dets": num[:, None], "det_boxes": boxes,
+                    "det_scores": scores, "det_classes": cls}
+
+        shape = jax.ShapeDtypeStruct((batch_size, img_size, img_size, 3),
+                                     jnp.uint8)
+        pshape = jax.tree_util.tree_map(
+            lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), params)
+        sshape = jax.tree_util.tree_map(
+            lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), state)
+        self._exe = jax.jit(end2end).lower(pshape, sshape, shape).compile()
+        self._params = params
+        self._state = state
+
+    def infer(self, images: np.ndarray) -> Dict[str, np.ndarray]:
+        """images: (n<=B, H, W, 3) uint8 RGB, already letterboxed to
+        img_size. Partial batches are padded and trimmed."""
+        n = images.shape[0]
+        assert n <= self.batch_size
+        if n < self.batch_size:
+            pad = np.zeros((self.batch_size - n, *images.shape[1:]), images.dtype)
+            images = np.concatenate([images, pad], 0)
+        out = self._exe(self._params, self._state, jnp.asarray(images))
+        return {k: np.asarray(v)[:n] for k, v in out.items()}
+
+    def warmup(self, iters=3):
+        x = np.zeros((self.batch_size, self.img_size, self.img_size, 3), np.uint8)
+        for _ in range(iters):
+            self.infer(x)
+
+
+class DynamicBatcher:
+    """Queue-based micro-batching front end (Triton dynamic_batching
+    equivalent). Call submit(image) from any thread; result is a Future-like
+    handle."""
+
+    def __init__(self, engine: ServingEngine, max_delay_ms: float = 5.0):
+        self.engine = engine
+        self.max_delay = max_delay_ms / 1e3
+        self.q: queue_mod.Queue = queue_mod.Queue()
+        self._stop = False
+        self.worker = threading.Thread(target=self._loop, daemon=True)
+        self.worker.start()
+
+    def submit(self, image: np.ndarray):
+        ev = threading.Event()
+        slot = {"image": image, "event": ev, "result": None}
+        self.q.put(slot)
+        return slot
+
+    @staticmethod
+    def wait(slot, timeout=None):
+        slot["event"].wait(timeout)
+        return slot["result"]
+
+    def _loop(self):
+        bs = self.engine.batch_size
+        while not self._stop:
+            try:
+                first = self.q.get(timeout=0.1)
+            except queue_mod.Empty:
+                continue
+            batch = [first]
+            deadline = time.perf_counter() + self.max_delay
+            while len(batch) < bs and time.perf_counter() < deadline:
+                try:
+                    batch.append(self.q.get(timeout=max(
+                        0.0, deadline - time.perf_counter())))
+                except queue_mod.Empty:
+                    break
+            images = np.stack([b["image"] for b in batch])
+            out = self.engine.infer(images)
+            for i, b in enumerate(batch):
+                b["result"] = {k: v[i] for k, v in out.items()}
+                b["event"].set()
+
+    def close(self):
+        self._stop = True

@@ -287,6 +287,13 @@ class ConvBnAct(Block):
         return {"w": w, "bn": bnp}, {"bn": bns}
 
     def apply(self, params, state, x, ctx):
+        _, fn = get_activation(self.act)
+        if "wq" in params:  # int8 deploy form (infer/quant.py)
+            from yolo_series_tpu.infer.quant import int8_conv
+            y = int8_conv(x.astype(jnp.float32), params["wq"], params["sw"],
+                          params["b"], self.s, autopad(self.k, self.p),
+                          self.g, params.get("sx"))
+            return fn(y).astype(x.dtype), state
         y = conv2d(x, params["w"], self.s, autopad(self.k, self.p), self.g, ctx.dtype)
         if "bn" in params:
             y, bns = batch_norm(params["bn"], state["bn"], y, ctx)
@@ -294,7 +301,6 @@ class ConvBnAct(Block):
         else:  # fused deploy form
             y = y + params["b"].astype(y.dtype)
             new_state = state
-        _, fn = get_activation(self.act)
         return fn(y), new_state
 
 
@@ -327,6 +333,11 @@ class PlainConv(Block):
 
     def apply(self, params, state, x, ctx):
         pad = self.p if self.p is not None else 0
+        if "wq" in params:
+            from yolo_series_tpu.infer.quant import int8_conv
+            y = int8_conv(x.astype(jnp.float32), params["wq"], params["sw"],
+                          params["b"], self.s, pad, self.g, params.get("sx"))
+            return y.astype(x.dtype), state
         y = conv2d(x, params["w"], self.s, pad, self.g, ctx.dtype)
         return y + params["b"].astype(y.dtype), state
 
@@ -1124,6 +1135,11 @@ class RepConv(Composite):
 
     def apply(self, params, state, x, ctx):
         _, fn = get_activation(self.act)
+        if "wq" in params:  # int8 deploy form
+            from yolo_series_tpu.infer.quant import int8_conv
+            y = int8_conv(x.astype(jnp.float32), params["wq"], params["sw"],
+                          params["b"], self.s, 1, self.g, params.get("sx"))
+            return fn(y).astype(x.dtype), state
         if "w" in params:  # fused deploy form
             y = conv2d(x, params["w"], self.s, 1, self.g, ctx.dtype)
             return fn(y + params["b"].astype(y.dtype)), state

@@ -1,0 +1,83 @@
+"""Experiment logging facade: console + results file + optional
+TensorBoard / Weights & Biases (reference utils/wandb_logging/ +
+train.py:447-453 TB scalars + results.txt append, train.py:441-442).
+
+Backends degrade gracefully: missing tensorboard/wandb packages simply
+disable those sinks (this environment has no network egress).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import sys
+from pathlib import Path
+from typing import Dict, Optional
+
+
+def setup_logging(rank: int = 0, verbose: bool = True):
+    """Root logging config by process rank (reference general.py:34-37)."""
+    logging.basicConfig(
+        format="%(message)s",
+        level=logging.INFO if (verbose and rank in (-1, 0)) else logging.WARNING)
+
+
+class ExperimentLogger:
+    """Unified scalar/image logging to console, results.jsonl, TB, W&B."""
+
+    def __init__(self, save_dir, use_tb: bool = True, use_wandb: bool = False,
+                 wandb_project: str = "yolo-series-tpu", run_name: Optional[str] = None,
+                 config: Optional[dict] = None, resume_id: Optional[str] = None):
+        self.save_dir = Path(save_dir)
+        self.save_dir.mkdir(parents=True, exist_ok=True)
+        self.results_file = self.save_dir / "results.jsonl"
+        self.tb = None
+        self.wandb_run = None
+
+        if use_tb:
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+                self.tb = SummaryWriter(log_dir=str(self.save_dir / "tb"))
+            except Exception as e:  # noqa: BLE001
+                logging.info(f"tensorboard disabled: {e}")
+        if use_wandb:
+            try:
+                import wandb
+                self.wandb_run = wandb.init(
+                    project=wandb_project, name=run_name, config=config,
+                    id=resume_id, resume="allow")
+            except Exception as e:  # noqa: BLE001
+                logging.info(f"wandb disabled: {e}")
+
+    @property
+    def wandb_id(self):
+        return self.wandb_run.id if self.wandb_run else None
+
+    def log_scalars(self, scalars: Dict[str, float], step: int):
+        with open(self.results_file, "a") as f:
+            f.write(json.dumps({"step": step, **scalars}) + "\n")
+        if self.tb:
+            for k, v in scalars.items():
+                if isinstance(v, (int, float)):
+                    self.tb.add_scalar(k, v, step)
+        if self.wandb_run:
+            self.wandb_run.log(scalars, step=step)
+
+    def log_image(self, tag: str, path, step: int = 0):
+        if self.wandb_run:
+            import wandb
+            self.wandb_run.log({tag: wandb.Image(str(path))}, step=step)
+
+    def log_model_artifact(self, ckpt_path, name="model", metadata=None):
+        """Model artifact upload (reference wandb_utils.py:179-191)."""
+        if self.wandb_run:
+            import wandb
+            art = wandb.Artifact(name=name, type="model", metadata=metadata or {})
+            art.add_file(str(ckpt_path))
+            self.wandb_run.log_artifact(art)
+
+    def finish(self):
+        if self.tb:
+            self.tb.close()
+        if self.wandb_run:
+            self.wandb_run.finish()

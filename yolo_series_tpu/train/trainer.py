@@ -1,0 +1,243 @@
+"""Training driver — the train.py/train_aux.py loop (reference train.py:41-535).
+
+Orchestrates: dataset/loader build, hyp scaling, mesh setup, warmup
+schedule, jitted train steps, per-epoch EMA eval, checkpointing
+(last/best/periodic), results logging. The aux-head path (train_aux.py)
+is the same driver with an IAuxDetect cfg + aux OTA loss — selected
+automatically from the model head.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+import time
+from pathlib import Path
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import yaml
+
+from yolo_series_tpu.data.datasets import DetectionDataset, create_loader
+from yolo_series_tpu.losses import LossHyp, make_compute_loss, make_compute_loss_ota
+from yolo_series_tpu.losses.aux_ota import make_compute_loss_aux_ota
+from yolo_series_tpu.models.graph import compile_graph
+from yolo_series_tpu.models.heads import IAuxDetect
+from yolo_series_tpu.models.model import init_model
+from yolo_series_tpu.eval.evaluator import evaluate
+from yolo_series_tpu.eval.metrics import fitness
+from yolo_series_tpu.parallel.mesh import make_mesh, replicated
+from yolo_series_tpu.train.checkpoints import (
+    load_checkpoint, restore_train_state, save_checkpoint, strip_checkpoint,
+)
+from yolo_series_tpu.train.optim import OptimConfig
+from yolo_series_tpu.train.schedules import warmup_factors
+from yolo_series_tpu.train.step import init_train_state, make_train_step
+
+DEFAULT_TRAIN_HYP = {
+    "lr0": 0.01, "lrf": 0.1, "momentum": 0.937, "weight_decay": 0.0005,
+    "warmup_epochs": 3.0, "warmup_momentum": 0.8, "warmup_bias_lr": 0.1,
+    "box": 0.05, "cls": 0.3, "cls_pw": 1.0, "obj": 0.7, "obj_pw": 1.0,
+    "iou_t": 0.2, "anchor_t": 4.0, "fl_gamma": 0.0,
+    "hsv_h": 0.015, "hsv_s": 0.7, "hsv_v": 0.4, "degrees": 0.0,
+    "translate": 0.2, "scale": 0.9, "shear": 0.0, "perspective": 0.0,
+    "flipud": 0.0, "fliplr": 0.5, "mosaic": 1.0, "mixup": 0.15,
+    "copy_paste": 0.0, "paste_in": 0.15, "loss_ota": 1,
+}
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    cfg: str                      # model yaml
+    data: Optional[str] = None    # dataset yaml (train/val paths, nc, names)
+    hyp: Optional[Any] = None     # hyp yaml path or dict
+    epochs: int = 300
+    batch_size: int = 16
+    img_size: int = 640
+    nominal_batch_size: int = 64  # grad-accumulation target (train.py:111)
+    weights: str = ""             # initial weights ('' = scratch)
+    resume: str = ""              # checkpoint to resume from
+    save_dir: str = "runs/train/exp"
+    adam: bool = False
+    linear_lr: bool = False
+    max_labels: int = 256
+    eval_every: int = 1
+    save_period: int = 25
+    seed: int = 0
+    n_data_devices: Optional[int] = None
+    rect: bool = False
+    compute_dtype: Any = jnp.bfloat16
+    label_smoothing: float = 0.0
+    noval: bool = False
+    warmup_min_steps: int = 1000  # reference nw floor (train.py:300)
+
+
+def _scaled_loss_hyp(hyp: dict, nl: int, nc: int, img_size: int,
+                     label_smoothing: float = 0.0) -> LossHyp:
+    """Reference hyp rescaling by layers/classes/image size
+    (train.py:288-291)."""
+    return LossHyp(
+        box=hyp["box"] * 3.0 / nl,
+        cls=hyp["cls"] * nc / 80.0 * 3.0 / nl,
+        obj=hyp["obj"] * (img_size / 640.0) ** 2 * 3.0 / nl,
+        cls_pw=hyp["cls_pw"], obj_pw=hyp["obj_pw"],
+        anchor_t=hyp["anchor_t"], fl_gamma=hyp["fl_gamma"],
+        label_smoothing=label_smoothing, gr=1.0)
+
+
+def load_hyp(hyp) -> dict:
+    if hyp is None:
+        return dict(DEFAULT_TRAIN_HYP)
+    if isinstance(hyp, dict):
+        return dict(DEFAULT_TRAIN_HYP, **hyp)
+    with open(hyp) as f:
+        return dict(DEFAULT_TRAIN_HYP, **yaml.safe_load(f))
+
+
+def train(tc: TrainConfig, train_ds: Optional[DetectionDataset] = None,
+          val_ds: Optional[DetectionDataset] = None,
+          callbacks: Optional[Dict[str, Any]] = None) -> Dict:
+    """Run training; returns {best_fitness, results, save_dir}."""
+    hyp = load_hyp(tc.hyp)
+    save_dir = Path(tc.save_dir)
+    (save_dir / "weights").mkdir(parents=True, exist_ok=True)
+    with open(save_dir / "hyp.yaml", "w") as f:
+        yaml.dump(hyp, f)
+
+    data_cfg: dict = {}
+    if tc.data:
+        with open(tc.data) as f:
+            data_cfg = yaml.safe_load(f)
+    nc = int(data_cfg.get("nc", 80))
+    names = data_cfg.get("names", [str(i) for i in range(nc)])
+
+    plan = compile_graph(tc.cfg, nc=nc)
+    key = jax.random.PRNGKey(tc.seed)
+    params, state = init_model(plan, key)
+
+    if tc.weights:
+        from yolo_series_tpu.train.checkpoints import load_checkpoint_any
+        _, params_l, state_l = load_checkpoint_any(tc.weights, tc.cfg)
+        # partial load (intersect_dicts equivalent): copy matching shapes
+        def merge(dst, src):
+            return jax.tree_util.tree_map(
+                lambda d, s: s if d.shape == s.shape else d, dst, src)
+        try:
+            params = merge(params, params_l)
+            state = merge(state, state_l)
+        except ValueError:
+            print("WARNING: weight tree mismatch; training from scratch")
+
+    head = plan.head
+    nl = len(head.strides)
+    loss_hyp = _scaled_loss_hyp(hyp, nl, nc, tc.img_size, tc.label_smoothing)
+    is_aux = isinstance(head, IAuxDetect)
+    if is_aux:
+        loss_fn = make_compute_loss_aux_ota(head, loss_hyp, tc.img_size)
+    elif hyp.get("loss_ota", 1):
+        loss_fn = make_compute_loss_ota(head, loss_hyp, tc.img_size)
+    else:
+        loss_fn = make_compute_loss(head, loss_hyp)
+
+    opt_cfg = OptimConfig(kind="adam" if tc.adam else "sgd", lr0=hyp["lr0"],
+                          momentum=hyp["momentum"],
+                          weight_decay=hyp["weight_decay"]
+                          * tc.batch_size * max(round(
+                              tc.nominal_batch_size / tc.batch_size), 1)
+                          / tc.nominal_batch_size)
+
+    n_dev = tc.n_data_devices or 1
+    mesh = make_mesh(n_data=n_dev) if n_dev > 1 else None
+    ts = init_train_state(params, state, opt_cfg)
+    start_epoch = 0
+    best_fitness = 0.0
+    if tc.resume:
+        blob = load_checkpoint(tc.resume)
+        ts = restore_train_state(blob, opt_cfg)
+        start_epoch = blob["epoch"] + 1
+        best_fitness = blob.get("best_fitness", 0.0)
+        print(f"resumed from {tc.resume} at epoch {start_epoch}")
+    if mesh is not None:
+        ts = jax.device_put(ts, replicated(mesh))
+
+    step_fn = make_train_step(plan, loss_fn, opt_cfg, mesh=mesh,
+                              compute_dtype=tc.compute_dtype)
+
+    if train_ds is None:
+        train_ds = DetectionDataset(
+            data_cfg["train"], img_size=tc.img_size, batch_size=tc.batch_size,
+            augment=True, hyp=hyp, rect=tc.rect, stride=int(max(head.strides)),
+            kind=data_cfg.get("dataset", "coco") if data_cfg.get("dataset") == "human" else "coco",
+            odgt_paths=[p for p in [data_cfg.get("train_crowd_human_label_path")] if p],
+            xml_dir=data_cfg.get("safety_helmet_label_path"),
+            cut_max_len=int(data_cfg.get("cut_max_len", -1)))
+    loader = create_loader(train_ds, batch_size=tc.batch_size,
+                           max_labels=tc.max_labels, seed=tc.seed)
+    nb = len(loader)
+    warmup_steps = max(round(hyp["warmup_epochs"] * nb), tc.warmup_min_steps)
+
+    val_loader = None
+    if val_ds is not None:
+        val_loader = lambda: create_loader(  # noqa: E731
+            val_ds, batch_size=tc.batch_size, shuffle=False,
+            max_labels=tc.max_labels, drop_last=False)
+
+    results_rows = []
+    cfg_dict = yaml.safe_load(open(tc.cfg)) if isinstance(tc.cfg, str) else dict(tc.cfg)
+    cfg_dict = {**cfg_dict, "nc": nc, "names": list(names)}  # checkpoint must
+    # rebuild the plan exactly as trained (nc/names come from the data yaml)
+    step = int(ts.step)
+    for epoch in range(start_epoch, tc.epochs):
+        t0 = time.time()
+        mloss = None
+        for batch in loader:
+            epoch_frac = jnp.float32(epoch + 0.0)
+            lr_groups, mom = warmup_factors(
+                jnp.float32(step), warmup_steps, epoch_frac, tc.epochs,
+                hyp["lr0"], hyp["lrf"], hyp["warmup_bias_lr"],
+                hyp["warmup_momentum"], hyp["momentum"],
+                cosine=not tc.linear_lr)
+            ts, metrics = step_fn(
+                ts, jnp.asarray(batch["images"], jnp.float32) / 255.0,
+                jnp.asarray(batch["labels"]), jnp.asarray(batch["label_mask"]),
+                lr_groups, mom)
+            step += 1
+            m = {k: float(v) for k, v in metrics.items()}
+            mloss = m if mloss is None else {
+                k: (mloss[k] * 0.9 + 0.1 * v) for k, v in m.items()}
+        row = {"epoch": epoch, **{f"train/{k}": v for k, v in (mloss or {}).items()},
+               "time_s": time.time() - t0}
+
+        fi = 0.0
+        if val_loader is not None and not tc.noval and \
+                (epoch % tc.eval_every == 0 or epoch == tc.epochs - 1):
+            res = evaluate(plan, ts.ema_params, ts.ema_state, val_loader(),
+                           names=names)
+            row.update({f"val/{k}": res[k] for k in
+                        ("mp", "mr", "map50", "map")})
+            fi = res["fitness"]
+        best_fitness = max(best_fitness, fi)
+        results_rows.append(row)
+
+        ckpt_kw = dict(cfg=cfg_dict, epoch=epoch, best_fitness=best_fitness,
+                       results=results_rows, hyp=hyp)
+        save_checkpoint(save_dir / "weights" / "last.ckpt", ts, **ckpt_kw)
+        if fi > 0 and fi >= best_fitness:
+            save_checkpoint(save_dir / "weights" / "best.ckpt", ts, **ckpt_kw)
+        if tc.save_period > 0 and epoch % tc.save_period == 0:
+            save_checkpoint(save_dir / "weights" / f"epoch_{epoch:03d}.ckpt",
+                            ts, **ckpt_kw)
+        print(f"epoch {epoch}: " + " ".join(f"{k}={v:.4f}" if isinstance(v, float)
+                                            else f"{k}={v}" for k, v in row.items()))
+        if callbacks and "on_epoch_end" in callbacks:
+            callbacks["on_epoch_end"](epoch, row, ts)
+
+    try:
+        from yolo_series_tpu.obs.plots import plot_results
+        plot_results(results_rows, save_dir)
+    except Exception as e:  # noqa: BLE001
+        print(f"plot_results failed: {e}")
+    return {"best_fitness": best_fitness, "results": results_rows,
+            "save_dir": str(save_dir), "train_state": ts, "plan": plan}
