@@ -16,11 +16,17 @@ small host fetch.
 """
 
 import json
+import os
 import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ["JAX_COMPILATION_CACHE_DIR"])
 
 BATCH = 32
 IMG = 640
@@ -34,12 +40,19 @@ def main():
     from yolo_series_tpu.ops.nms import _single_image_nms
     import functools
 
-    m = Model.from_yaml("yolo_series_tpu/models/cfg/deploy/yolov7.yaml")
-    params, state = fuse_model(m.plan, m.params, m.state)
+    # init + fuse on the host CPU backend: eager per-layer init through the
+    # TPU relay costs minutes; one device_put ships the final tree
+    cpu = jax.local_devices(backend="cpu")[0]
+    with jax.default_device(cpu):
+        m = Model.from_yaml("yolo_series_tpu/models/cfg/deploy/yolov7.yaml")
+        params, state = fuse_model(m.plan, m.params, m.state)
+    tpu = jax.devices()[0]
+    params = jax.device_put(params, tpu)
+    state = jax.device_put(state, tpu)
 
     nms_fn = functools.partial(
         _single_image_nms, conf_thres=0.25, iou_thres=0.45, multi_label=False,
-        agnostic=False, max_det=300, max_nms=1024, max_wh=4096.0, nc=m.plan.nc,
+        agnostic=False, max_det=300, max_nms=512, max_wh=4096.0, nc=m.plan.nc,
         tile=256, class_mask=None)
 
     def end2end(x):

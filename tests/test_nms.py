@@ -131,3 +131,16 @@ def test_batched_nms_classes_filter():
     n = int(out.num_dets[0])
     assert n > 0
     assert set(np.asarray(out.classes[0, :n]).tolist()) <= {1, 3}
+
+
+@pytest.mark.parametrize("n,thr", [(100, 0.45), (700, 0.5), (1000, 0.65)])
+def test_keep_mask_full_matches_tiled(n, thr):
+    from yolo_series_tpu.ops.nms import nms_keep_mask_full
+
+    rng = np.random.default_rng(n)
+    boxes, scores = _rand_boxes_scores(n, rng)
+    order = np.argsort(-scores)
+    boxes_sorted = boxes[order]
+    full = np.asarray(nms_keep_mask_full(jnp.asarray(boxes_sorted), thr))
+    exp = _greedy_nms_oracle(boxes, scores, thr)
+    np.testing.assert_array_equal(order[full], exp)

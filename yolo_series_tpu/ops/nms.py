@@ -47,6 +47,39 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def nms_keep_mask_full(boxes: jnp.ndarray, iou_threshold: float,
+                       max_iters: int = 64) -> jnp.ndarray:
+    """Exact greedy NMS keep-mask via whole-matrix fixed-point iteration.
+
+    One (K, K) IoU product + a short convergence loop (alive_{t+1}[p] =
+    ~exists alive_t[q], q<p, IoU(q,p)>thr) — the same self-suppression map
+    as the tiled kernel but with no outer tiling, which wins for the K <=
+    ~1024 candidate counts of the serving path (fewer sequential steps,
+    better VPU utilization under vmap).
+    """
+    k = boxes.shape[0]
+    iou = box_iou(boxes, boxes)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (k, k), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (k, k), 1)
+    m = (iou > iou_threshold) & (rows < cols)  # m[q, p]: q can suppress p
+    alive0 = jnp.ones((k,), bool)
+
+    def step(alive):
+        return ~jnp.any(alive[:, None] & m, axis=0)
+
+    def cond(state):
+        alive, prev, it = state
+        return jnp.any(alive != prev) & (it < max_iters)
+
+    def body(state):
+        alive, _, it = state
+        return step(alive), alive, it + 1
+
+    alive, _, _ = jax.lax.while_loop(cond, body, (step(alive0), alive0,
+                                                  jnp.int32(0)))
+    return alive
+
+
 def nms_keep_mask(boxes: jnp.ndarray, iou_threshold: float, tile: int = 256) -> jnp.ndarray:
     """Exact greedy NMS keep-mask for score-sorted boxes.
 
@@ -149,7 +182,6 @@ def _single_image_nms(
     class_mask: Optional[jnp.ndarray],
 ):
     """pred: (A, 5 + nc) decoded predictions for one image."""
-    boxes = xywh2xyxy(pred[:, 0:4])
     obj = pred[:, 4]
     cls_scores = pred[:, 5:5 + nc] * obj[:, None]
 
@@ -163,7 +195,6 @@ def _single_image_nms(
         top_scores, top_flat_idx = jax.lax.top_k(flat, k)
         anchor_idx = top_flat_idx // nc
         cand_cls = (top_flat_idx % nc).astype(jnp.float32)
-        cand_boxes = boxes[anchor_idx]
     else:
         # Best class per anchor — reference general.py:687-688.
         if class_mask is not None:
@@ -174,12 +205,16 @@ def _single_image_nms(
         k = min(max_nms, score.shape[0])
         top_scores, anchor_idx = jax.lax.top_k(score, k)
         cand_cls = best[anchor_idx].astype(jnp.float32)
-        cand_boxes = boxes[anchor_idx]
+    # convert only the selected candidates (k rows, not all A anchors)
+    cand_boxes = xywh2xyxy(pred[anchor_idx, 0:4])
 
     valid_cand = jnp.isfinite(top_scores)
     offset = 0.0 if agnostic else cand_cls * max_wh
     nms_boxes = jnp.where(valid_cand[:, None], cand_boxes + offset[:, None], 0.0)
-    keep = nms_keep_mask(nms_boxes, iou_thres, tile=tile) & valid_cand
+    if nms_boxes.shape[0] <= 1024:  # serving path: whole-matrix fixed point
+        keep = nms_keep_mask_full(nms_boxes, iou_thres) & valid_cand
+    else:                           # eval path (large K): tiled kernel
+        keep = nms_keep_mask(nms_boxes, iou_thres, tile=tile) & valid_cand
 
     pos = jnp.cumsum(keep) - 1
     writable = keep & (pos < max_det)
