@@ -46,7 +46,7 @@ class ServingEngine:
             _single_image_nms, conf_thres=conf_thres, iou_thres=iou_thres,
             multi_label=False, agnostic=False, max_det=max_det,
             max_nms=max_nms, max_wh=4096.0, nc=plan.nc, tile=256,
-            class_mask=None)
+            class_mask=None, score_dtype=jnp.bfloat16)
 
         def end2end(params, state, x):
             # x: (B, H, W, 3) uint8 RGB; normalization fused on device

@@ -180,14 +180,19 @@ def _single_image_nms(
     nc: int,
     tile: int,
     class_mask: Optional[jnp.ndarray],
+    score_dtype=jnp.float32,
 ):
-    """pred: (A, 5 + nc) decoded predictions for one image."""
-    obj = pred[:, 4]
-    cls_scores = pred[:, 5:5 + nc] * obj[:, None]
+    """pred: (A, 5 + nc) decoded predictions for one image.
+
+    score_dtype=bfloat16 halves the bandwidth of the (A, nc) scoring pass —
+    the serving default; box coordinates always stay fp32.
+    """
+    obj = pred[:, 4].astype(score_dtype)
+    cls_scores = pred[:, 5:5 + nc].astype(score_dtype) * obj[:, None]
 
     if multi_label:
         # Every (anchor, class) pair is a candidate — reference general.py:684.
-        flat = cls_scores.reshape(-1)
+        flat = cls_scores.reshape(-1).astype(jnp.float32)
         if class_mask is not None:
             flat = jnp.where(jnp.tile(class_mask, (pred.shape[0],)), flat, -jnp.inf)
         flat = jnp.where(flat > conf_thres, flat, -jnp.inf)
@@ -200,11 +205,13 @@ def _single_image_nms(
         if class_mask is not None:
             cls_scores = jnp.where(class_mask[None, :], cls_scores, -jnp.inf)
         best = jnp.argmax(cls_scores, axis=-1)
-        score = jnp.take_along_axis(cls_scores, best[:, None], axis=-1)[:, 0]
+        score = jnp.max(cls_scores, axis=-1).astype(jnp.float32)
+        # the (A,) score vector is tiny — select in fp32 (bf16 top_k is slow)
         score = jnp.where(score > conf_thres, score, -jnp.inf)
         k = min(max_nms, score.shape[0])
         top_scores, anchor_idx = jax.lax.top_k(score, k)
         cand_cls = best[anchor_idx].astype(jnp.float32)
+    top_scores = top_scores.astype(jnp.float32)
     # convert only the selected candidates (k rows, not all A anchors)
     cand_boxes = xywh2xyxy(pred[anchor_idx, 0:4])
 
@@ -233,7 +240,7 @@ def _single_image_nms(
     jax.jit,
     static_argnames=(
         "conf_thres", "iou_thres", "multi_label", "agnostic",
-        "max_det", "max_nms", "max_wh", "tile",
+        "max_det", "max_nms", "max_wh", "tile", "score_dtype",
     ),
 )
 def batched_nms(
@@ -247,6 +254,7 @@ def batched_nms(
     max_wh: float = 4096.0,
     tile: int = 256,
     classes: Optional[Sequence[int]] = None,
+    score_dtype=jnp.float32,
 ) -> NMSOutput:
     """Batched end-to-end NMS on decoded predictions.
 
@@ -272,6 +280,7 @@ def batched_nms(
         nc=nc,
         tile=tile,
         class_mask=class_mask,
+        score_dtype=score_dtype,
     )
     num, boxes, scores, cls = jax.vmap(fn)(pred.astype(jnp.float32))
     return NMSOutput(num, boxes, scores, cls)
