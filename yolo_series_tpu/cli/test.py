@@ -38,8 +38,9 @@ def run_eval(opt, img_size=None):
         augment=False, rect=not opt.no_rect, stride=int(max(plan.strides)),
         pad=0.5,
         kind="human" if data.get("dataset") == "human" else "coco",
-        odgt_paths=[p for p in [data.get("valid_crowd_human_label_path")] if p],
-        xml_dir=data.get("safety_helmet_label_path"),
+        odgt_paths=[p for p in
+                    [data.get("crowd_human_valid_label_file")] if p],
+        xml_dir=data.get("safety_helmet_dataset_label_dir"),
         cut_max_len=int(data.get("cut_max_len", -1)))
     loader = create_loader(ds, batch_size=opt.batch_size, shuffle=False,
                            max_labels=opt.max_labels, drop_last=False)

@@ -40,7 +40,8 @@ K_OFFSETS = 5
 
 
 def _assign_single(raw_img: Sequence[jnp.ndarray], labels, label_mask,
-                   grids, anchors, strides, hyp: LossHyp, img_size, g, topk):
+                   grids, anchors, strides, hyp: LossHyp, img_size, g, topk,
+                   codec=None):
     """SimOTA assignment for one image. raw_img: [(na, ny, nx, no)] lead
     maps. Returns (fg (C,), matched_gt (C,)) over the concatenated
     candidate columns (level-major)."""
@@ -61,7 +62,10 @@ def _assign_single(raw_img: Sequence[jnp.ndarray], labels, label_mask,
                                (m, na, K_OFFSETS, 2)).reshape(-1, 2)
         grid = jnp.stack([gi, gj], -1).astype(jnp.float32)
         pxy = (jax.nn.sigmoid(ps[:, 0:2]) * 2.0 - 0.5 + grid) * strides[li]
-        pwh = jnp.square(jax.nn.sigmoid(ps[:, 2:4]) * 2.0) * anc * strides[li]
+        if codec is None:
+            pwh = jnp.square(jax.nn.sigmoid(ps[:, 2:4]) * 2.0) * anc * strides[li]
+        else:  # e.g. SigmoidBin w/h decode (ComputeLossBinOTA, loss.py:1018)
+            pwh = codec["wh_decode"](ps, anc) * strides[li]
         all_xyxy.append(xywh2xyxy(jnp.concatenate([pxy, pwh], -1)))
         all_ps.append(ps)
         all_valid.append(c.valid[0].reshape(-1))
@@ -82,8 +86,9 @@ def _assign_single(raw_img: Sequence[jnp.ndarray], labels, label_mask,
     top_iou = jax.lax.top_k(pair_iou, topk_eff)[0]
     dyn_k = jnp.clip(jnp.sum(top_iou, -1).astype(jnp.int32), 1, None)
 
-    obj_l = p_all[:, 4:5]
-    cls_l = p_all[:, 5:]
+    obj_idx = 4 if codec is None else codec["obj_idx"]
+    obj_l = p_all[:, obj_idx:obj_idx + 1]
+    cls_l = p_all[:, obj_idx + 1:]
     y = jnp.sqrt(jax.nn.sigmoid(cls_l) * jax.nn.sigmoid(obj_l))
     z = jnp.log(y / (1.0 - y + 1e-12) + 1e-12)
     sp_sum = jnp.sum(jax.nn.softplus(z), axis=-1)
@@ -114,14 +119,15 @@ def _assign_single(raw_img: Sequence[jnp.ndarray], labels, label_mask,
 
 def ota_assign_batch(raw: Sequence[jnp.ndarray], labels, label_mask,
                      anchors: np.ndarray, strides: np.ndarray,
-                     hyp: LossHyp, img_size: float, g: float, topk: int):
+                     hyp: LossHyp, img_size: float, g: float, topk: int,
+                     codec=None):
     """Batched assignment. raw: [(B, na, ny, nx, no)] lead maps (fp32).
     Returns fg (B, C), matched_gt (B, C), level column offsets."""
     grids = tuple((r.shape[2], r.shape[3]) for r in raw)
 
     def wrap(raw_img, labels_i, mask_i):
         return _assign_single(raw_img, labels_i, mask_i, grids, anchors,
-                              strides, hyp, img_size, g, topk)
+                              strides, hyp, img_size, g, topk, codec)
 
     fg, mg = jax.vmap(wrap)(list(raw), labels, label_mask)
     fg = jax.lax.stop_gradient(fg)

@@ -28,6 +28,8 @@ import numpy as np
 import yaml
 
 from yolo_series_tpu.models import layers as L
+from yolo_series_tpu.models import attention as ATT
+from yolo_series_tpu.models import extra as X
 from yolo_series_tpu.models import heads as H
 
 
@@ -55,6 +57,14 @@ _REF_NAMES = {
     "nn.BatchNorm2d": "batchnorm2d", "Contract": "contract", "Expand": "expand",
     "Detect": "detect", "IDetect": "idetect", "IAuxDetect": "iauxdetect",
     "IBin": "ibin", "IKeypoint": "ikeypoint",
+    "RobustConv": "robustconv", "RobustConv2": "robustconv2",
+    "CrossConv": "crossconv", "Sum": "sum", "MixConv2d": "mixconv2d",
+    "SwinTransformerBlock": "swintransformerblock",
+    "SwinTransformer2Block": "swintransformer2block",
+    "STCSPA": "stcspa", "STCSPB": "stcspb", "STCSPC": "stcspc",
+    "ST2CSPA": "st2cspa", "ST2CSPB": "st2cspb", "ST2CSPC": "st2cspc",
+    "TransformerBlock": "transformerblock",
+    "RepConv_OREPA": "repconv_orepa",
 }
 
 # conv-family modules: args start [c2, ...] and get width scaling
@@ -64,12 +74,17 @@ _CONV_FAMILY = {
     "bottleneckcspa", "bottleneckcspb", "bottleneckcspc",
     "res", "rescspa", "rescspb", "rescspc", "resx", "resxcspa", "resxcspb",
     "resxcspc", "ghost", "ghostcspa", "ghostcspb", "ghostcspc",
+    "robustconv", "robustconv2", "crossconv", "mixconv2d",
+    "swintransformerblock", "swintransformer2block",
+    "stcspa", "stcspb", "stcspc", "st2cspa", "st2cspb", "st2cspc",
+    "transformerblock", "repconv_orepa",
 }
 # subset that takes an inner repeat count inserted at args[2]
 _TAKES_N = {
     "downc", "sppcspc", "ghostsppcspc", "bottleneckcspa", "bottleneckcspb",
     "bottleneckcspc", "rescspa", "rescspb", "rescspc", "resxcspa", "resxcspb",
     "resxcspc", "ghostcspa", "ghostcspb", "ghostcspc",
+    "stcspa", "stcspb", "stcspc", "st2cspa", "st2cspb", "st2cspc",
 }
 
 _HEAD_NAMES = {"detect", "idetect", "iauxdetect", "ibin", "ikeypoint"}
@@ -87,9 +102,27 @@ _BLOCK_CLASSES = {
     "ghostcspc": L.GhostCSPC,
     "mp": L.MP, "sp": L.SP, "reorg": L.ReOrg, "foldcut": L.Foldcut,
     "batchnorm2d": L.BatchNorm2d, "contract": L.Contract, "expand": L.Expand,
+    "conv2d": L.PlainConv,
+    "ghostsppcspc": X.GhostSPPCSPC, "ghoststem": X.GhostStem,
+    "robustconv": X.RobustConv, "robustconv2": X.RobustConv2,
+    "crossconv": X.CrossConv, "mixconv2d": X.MixConv2d,
+    "repconv_orepa": X.RepConvOREPA,
+    "swintransformerblock": ATT.SwinTransformerBlock,
+    "stcspa": ATT.STCSPA, "stcspb": ATT.STCSPB, "stcspc": ATT.STCSPC,
+    "st2cspa": ATT.ST2CSPA, "st2cspb": ATT.ST2CSPB, "st2cspc": ATT.ST2CSPC,
+    "transformerblock": ATT.TransformerBlock,
 }
 
-_HEAD_CLASSES = {"detect": H.Detect, "idetect": H.IDetect, "iauxdetect": H.IAuxDetect}
+
+def _swin2block(c1, c2, *args):
+    return ATT.SwinTransformerBlock(c1, c2, *args, v2=True)
+
+
+_BLOCK_CLASSES["swintransformer2block"] = _swin2block
+
+_HEAD_CLASSES = {"detect": H.Detect, "idetect": H.IDetect,
+                 "iauxdetect": H.IAuxDetect, "ibin": H.IBin,
+                 "ikeypoint": H.IKeypoint}
 
 
 @dataclasses.dataclass(frozen=True)
@@ -256,6 +289,11 @@ def compile_graph(cfg: Union[str, dict], ch: int = 3,
         elif name == "shortcut":
             cins = tuple(ch_at(x) for x in f)
             block = L.Shortcut(cins)
+            cout = block.cout
+            stride = st_at(f[0])
+        elif name == "sum":
+            cins = tuple(ch_at(x) for x in f)
+            block = X.Sum(cins, weight=bool(args[1]) if len(args) > 1 else False)
             cout = block.cout
             stride = st_at(f[0])
         elif name == "upsample":

@@ -219,3 +219,150 @@ class IAuxDetect(Detect):
 
 
 HEAD_TYPES = (Detect, IDetect, IAuxDetect)
+
+
+@dataclasses.dataclass(frozen=True)
+class IBin(Detect):
+    """Binned w/h regression head (reference yolo.py:433-505): per-anchor
+    output = [x, y, w_bin(22), h_bin(22), obj, cls...]; w/h decode via
+    SigmoidBin argmax-bin + residual over [0, 4] x anchor."""
+
+    bin_count: int = 21
+
+    @property
+    def no(self):
+        return self.nc + 3 + 2 * (self.bin_count + 1)
+
+    def _bins(self):
+        from yolo_series_tpu.losses.bin import SigmoidBin
+        return SigmoidBin(self.bin_count, 0.0, 4.0)
+
+    def init(self, key):
+        return IDetect.init(self, key)
+
+    def _raw_level(self, params, xs, i, ctx):
+        return IDetect._raw_level(self, params, xs, i, ctx)
+
+    def apply(self, params, state, xs, ctx):
+        raws, preds = [], []
+        apx = self.anchors_grid()
+        sb = self._bins()
+        bl = self.bin_count + 1
+        for i in range(self.nl):
+            yraw = self._raw_level(params, xs, i, ctx)   # (B, ny, nx, na, no)
+            raws.append(yraw.transpose(0, 3, 1, 2, 4))
+            if not ctx.training:
+                b, ny, nx, na, _ = yraw.shape
+                y = jax.nn.sigmoid(yraw.astype(jnp.float32))
+                gx = jax.lax.broadcasted_iota(jnp.float32, (ny, nx), 1)
+                gy = jax.lax.broadcasted_iota(jnp.float32, (ny, nx), 0)
+                grid = jnp.stack([gx, gy], -1)[:, :, None, :]
+                xy = (y[..., 0:2] * 2.0 - 0.5 + grid) * self.strides[i]
+                anc = jnp.asarray(apx[i], jnp.float32)[None, None, :, :]
+                pw = sb.forward(y[..., 2:2 + bl]) * anc[..., 0]
+                ph = sb.forward(y[..., 2 + bl:2 + 2 * bl]) * anc[..., 1]
+                rest = y[..., 2 + 2 * bl:]               # obj + cls
+                out = jnp.concatenate([xy, pw[..., None], ph[..., None], rest], -1)
+                preds.append(out.transpose(0, 3, 1, 2, 4).reshape(
+                    b, na * ny * nx, -1))
+        if ctx.training:
+            return {"raw": raws}, state
+        return {"pred": jnp.concatenate(preds, 1), "raw": raws}, state
+
+    def _bias_prior(self, stride, cf=None):
+        """obj/cls prior at the IBin channel layout
+        (reference _initialize_biases_bin, yolo.py:657-670)."""
+        prior = np.zeros((self.na, self.no), np.float32)
+        obj_idx = 2 * (self.bin_count + 1) + 2
+        prior[:, obj_idx] = math.log(8.0 / (640.0 / stride) ** 2)
+        prior[:, obj_idx + 1:] = (math.log(0.6 / (self.nc - 0.99)) if cf is None
+                                  else np.log(cf / cf.sum()))
+        return jnp.asarray(prior.reshape(-1))
+
+
+@dataclasses.dataclass(frozen=True)
+class IKeypoint(Detect):
+    """Pose head: nc+5 detection channels + 3*nkpt keypoint channels
+    (reference yolo.py:210-308). Keypoints decode as
+    (sig*2 - 0.5 + grid) * stride with sigmoid visibility."""
+
+    nkpt: int = 17
+
+    @property
+    def no_det(self):
+        return self.nc + 5
+
+    @property
+    def no_kpt(self):
+        return 3 * self.nkpt
+
+    @property
+    def no(self):
+        return self.no_det + self.no_kpt
+
+    def _convs(self):
+        return [PlainConv(c, self.no_det * self.na, 1) for c in self.ch]
+
+    def _kpt_convs(self):
+        return [PlainConv(c, self.no_kpt * self.na, 1) for c in self.ch]
+
+    def init(self, key):
+        k1, k2, k3, k4 = jax.random.split(key, 4)
+        keys = jax.random.split(k1, self.nl)
+        params = {"m": [cv.init(k)[0] for cv, k in zip(self._convs(), keys)]}
+        keys2 = jax.random.split(k2, self.nl)
+        params["m_kpt"] = [cv.init(k)[0] for cv, k in zip(self._kpt_convs(), keys2)]
+        kia = jax.random.split(k3, self.nl)
+        kim = jax.random.split(k4, self.nl)
+        params["ia"] = [ImplicitA(c).init(k)[0] for c, k in zip(self.ch, kia)]
+        params["im"] = [ImplicitM(self.no_det * self.na).init(k)[0] for k in kim]
+        return params, {}
+
+    def apply(self, params, state, xs, ctx):
+        raws, preds = [], []
+        apx = self.anchors_grid()
+        for i in range(self.nl):
+            x = xs[i]
+            xd = x + params["ia"][i]["v"].astype(x.dtype) if "ia" in params else x
+            det, _ = self._convs()[i].apply(params["m"][i], {}, xd, ctx)
+            if "im" in params:
+                det = det * params["im"][i]["v"].astype(det.dtype)
+            kpt, _ = self._kpt_convs()[i].apply(params["m_kpt"][i], {}, x, ctx)
+            b, ny, nx, _ = det.shape
+            det = det.reshape(b, ny, nx, self.na, self.no_det)
+            kpt = kpt.reshape(b, ny, nx, self.na, self.no_kpt)
+            full = jnp.concatenate([det, kpt], -1)
+            raws.append(full.transpose(0, 3, 1, 2, 4))
+            if not ctx.training:
+                y = jax.nn.sigmoid(det.astype(jnp.float32))
+                gx = jax.lax.broadcasted_iota(jnp.float32, (ny, nx), 1)
+                gy = jax.lax.broadcasted_iota(jnp.float32, (ny, nx), 0)
+                grid = jnp.stack([gx, gy], -1)[:, :, None, :]
+                anc = jnp.asarray(apx[i], jnp.float32)[None, None, :, :]
+                xy = (y[..., 0:2] * 2.0 - 0.5 + grid) * self.strides[i]
+                wh = jnp.square(y[..., 2:4] * 2.0) * anc
+                kf = kpt.astype(jnp.float32)
+                kx = (kf[..., 0::3] * 2.0 - 0.5 + grid[..., 0:1]) * self.strides[i]
+                ky = (kf[..., 1::3] * 2.0 - 0.5 + grid[..., 1:2]) * self.strides[i]
+                kv = jax.nn.sigmoid(kf[..., 2::3])
+                kout = jnp.stack([kx, ky, kv], -1).reshape(*kf.shape[:-1], -1)
+                out = jnp.concatenate([xy, wh, y[..., 4:], kout], -1)
+                preds.append(out.transpose(0, 3, 1, 2, 4).reshape(
+                    b, self.na * ny * nx, -1))
+        if ctx.training:
+            return {"raw": raws}, state
+        return {"pred": jnp.concatenate(preds, 1), "raw": raws}, state
+
+
+HEAD_TYPES = (Detect, IDetect, IAuxDetect, IBin, IKeypoint)
+
+
+def _ikeypoint_bias_prior(self, stride, cf=None):
+    prior = np.zeros((self.na, self.no_det), np.float32)
+    prior[:, 4] = math.log(8.0 / (640.0 / stride) ** 2)
+    prior[:, 5:] = (math.log(0.6 / (self.nc - 0.99)) if cf is None
+                    else np.log(cf / cf.sum()))
+    return jnp.asarray(prior.reshape(-1))
+
+
+IKeypoint._bias_prior = _ikeypoint_bias_prior

@@ -21,8 +21,10 @@ import numpy as np
 
 from yolo_series_tpu.models import heads as H
 from yolo_series_tpu.models import layers as L
-from yolo_series_tpu.models.graph import GraphPlan
 from yolo_series_tpu.models.layers import BN_EPS
+
+if False:  # typing only — graph imports block modules, avoid the cycle
+    from yolo_series_tpu.models.graph import GraphPlan
 
 
 def fuse_conv_bn(w, bn_params, bn_state, eps=BN_EPS):
@@ -84,6 +86,9 @@ def fuse_head_implicit(head, params):
 def fuse_block(block, params, state) -> Tuple[Any, Any]:
     if isinstance(block, L.RepConv):
         return fuse_repconv(block, params, state)
+    if hasattr(block, "deploy") and "w" not in params:
+        # OREPA family: weight_gen + BN collapse (common.py:1323-1345)
+        return block.deploy(params, state)
     if isinstance(block, (L.ConvBnAct, L.Focus)):
         if "bn" in params:
             w, b = fuse_conv_bn(params["w"], params["bn"], state["bn"])
@@ -98,7 +103,7 @@ def fuse_block(block, params, state) -> Tuple[Any, Any]:
     return params, state
 
 
-def fuse_model(plan: GraphPlan, params, state) -> Tuple[Any, Any]:
+def fuse_model(plan: "GraphPlan", params, state) -> Tuple[Any, Any]:
     """Full train->deploy fusion (the reference attempt_load always fuses,
     experimental.py:253)."""
     lp, ls = params["layers"], state["layers"]

@@ -166,12 +166,14 @@ def train(tc: TrainConfig, train_ds: Optional[DetectionDataset] = None,
                               compute_dtype=tc.compute_dtype)
 
     if train_ds is None:
+        is_human = data_cfg.get("dataset") == "human"
         train_ds = DetectionDataset(
             data_cfg["train"], img_size=tc.img_size, batch_size=tc.batch_size,
             augment=True, hyp=hyp, rect=tc.rect, stride=int(max(head.strides)),
-            kind=data_cfg.get("dataset", "coco") if data_cfg.get("dataset") == "human" else "coco",
-            odgt_paths=[p for p in [data_cfg.get("train_crowd_human_label_path")] if p],
-            xml_dir=data_cfg.get("safety_helmet_label_path"),
+            kind="human" if is_human else "coco",
+            odgt_paths=[p for p in
+                        [data_cfg.get("crowd_human_train_label_file")] if p],
+            xml_dir=data_cfg.get("safety_helmet_dataset_label_dir"),
             cut_max_len=int(data_cfg.get("cut_max_len", -1)))
     loader = create_loader(train_ds, batch_size=tc.batch_size,
                            max_labels=tc.max_labels, seed=tc.seed)
