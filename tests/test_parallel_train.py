@@ -131,3 +131,29 @@ def test_overfit_tiny():
         ts, metrics = step_fn(ts, x, labels, mask, lr_groups, mom)
         losses.append(float(metrics["total"]))
     assert losses[-1] < losses[0] * 0.8, losses[::5]
+
+
+def test_multi_scale_and_freeze_step():
+    img = 64
+    m = Model.from_yaml("yolo_series_tpu/models/cfg/training/yolov7-tiny.yaml")
+    loss_fn = make_compute_loss(m.plan.head, LossHyp())
+    cfg = OptimConfig()
+    ts = init_train_state(m.params, m.state, cfg)
+    p0 = jax.tree_util.tree_map(jnp.copy, ts.params)
+    step_fn = make_train_step(m.plan, loss_fn, cfg, compute_dtype=jnp.float32,
+                              freeze=5, resize_to=96)
+    rng = np.random.default_rng(2)
+    x, labels, mask = _tiny_batch(rng, 2, img)
+    lr_groups, mom = warmup_factors(jnp.float32(100), 10, jnp.float32(1.0),
+                                    300, cfg.lr0, 0.1, 0.1, 0.8, cfg.momentum)
+    ts2, metrics = step_fn(ts, jnp.asarray(x), jnp.asarray(labels),
+                           jnp.asarray(mask), lr_groups, mom)
+    assert np.isfinite(float(metrics["total"]))
+    # frozen layers unchanged, later layers updated
+    for li in range(5):
+        a = jax.tree_util.tree_leaves(ts2.params["layers"][li])
+        b = jax.tree_util.tree_leaves(p0["layers"][li])
+        assert all(float(jnp.max(jnp.abs(x1 - x2))) == 0 for x1, x2 in zip(a, b))
+    a = jax.tree_util.tree_leaves(ts2.params["layers"][21])  # 20 is a Concat
+    b = jax.tree_util.tree_leaves(p0["layers"][21])
+    assert any(float(jnp.max(jnp.abs(x1 - x2))) > 0 for x1, x2 in zip(a, b))

@@ -27,6 +27,11 @@ def make_parser():
     p.add_argument("--batch-size", type=int, default=16)
     p.add_argument("--img-size", type=int, default=640)
     p.add_argument("--rect", action="store_true")
+    p.add_argument("--multi-scale", action="store_true",
+                   help="vary img-size +/-25%% (bucketed)")
+    p.add_argument("--freeze", type=int, default=0,
+                   help="freeze first N layers")
+    p.add_argument("--image-weights", action="store_true")
     p.add_argument("--adam", action="store_true")
     p.add_argument("--linear-lr", action="store_true")
     p.add_argument("--label-smoothing", type=float, default=0.0)
@@ -63,7 +68,8 @@ def main():
         adam=opt.adam, linear_lr=opt.linear_lr, rect=opt.rect,
         label_smoothing=opt.label_smoothing, max_labels=opt.max_labels,
         noval=opt.noval, save_period=opt.save_period, seed=opt.seed,
-        n_data_devices=opt.devices)
+        n_data_devices=opt.devices, multi_scale=opt.multi_scale,
+        freeze=opt.freeze)
     if opt.evolve:
         from yolo_series_tpu.train.evolve import evolve
         evolve(tc, generations=opt.evolve_gens)

@@ -168,7 +168,8 @@ class DetectionDataset:
     def __init__(self, path, img_size=640, batch_size=16, augment=False,
                  hyp: Optional[dict] = None, rect=False, image_weights=False,
                  stride=32, pad=0.0, kind="coco", odgt_paths=(),
-                 xml_dir=None, cut_max_len=-1, cache_path=None, prefix=""):
+                 xml_dir=None, cut_max_len=-1, cache_path=None, prefix="",
+                 cache_images=False):
         self.img_size = img_size
         self.augment = augment
         self.hyp = dict(DEFAULT_HYP, **(hyp or {}))
@@ -228,10 +229,14 @@ class DetectionDataset:
     def __len__(self):
         return len(self.im_files)
 
+        self._img_cache = [None] * n if cache_images else None
+        if cache_images:
+            for i in range(n):
+                self._img_cache[i] = self._read_resize(i)
+
     # -- image io ---------------------------------------------------------
 
-    def load_image(self, i):
-        """Read + resize long side to img_size (reference datasets.py:959)."""
+    def _read_resize(self, i):
         path = self.im_files[i]
         img = cv2.imread(path)
         assert img is not None, f"image not found {path}"
@@ -241,6 +246,14 @@ class DetectionDataset:
             interp = cv2.INTER_AREA if r < 1 and not self.augment else cv2.INTER_LINEAR
             img = cv2.resize(img, (int(w0 * r), int(h0 * r)), interpolation=interp)
         return img, (h0, w0), img.shape[:2]
+
+    def load_image(self, i):
+        """Read + resize long side to img_size, with optional RAM cache
+        (reference datasets.py:959-973, cache :493-512)."""
+        if self._img_cache is not None and self._img_cache[i] is not None:
+            img, hw0, hw = self._img_cache[i]
+            return img.copy(), hw0, hw
+        return self._read_resize(i)
 
     def _labels_xyxy(self, i, ratio_w, ratio_h, padw, padh):
         """Stored normalized cls-xywh -> pixel cls-xyxy for a placed image."""
@@ -391,7 +404,7 @@ class create_loader:
 
     def __init__(self, dataset: DetectionDataset, batch_size=16,
                  shuffle=True, max_labels=256, drop_last=True, seed=0,
-                 prefetch=2, epoch_fn=None):
+                 prefetch=2, image_weights=False, class_weights=None):
         self.ds = dataset
         self.bs = batch_size
         self.shuffle = shuffle
@@ -400,6 +413,8 @@ class create_loader:
         self.seed = seed
         self.epoch = 0
         self.prefetch = prefetch
+        self.image_weights = image_weights
+        self.class_weights = class_weights
 
     def __len__(self):
         n = len(self.ds)
@@ -415,10 +430,23 @@ class create_loader:
 
     def __iter__(self):
         n = len(self.ds)
-        order = np.arange(n)
-        if self.shuffle:
-            rng = np.random.default_rng(self.seed + self.epoch)
-            rng.shuffle(order)
+        rng = np.random.default_rng(self.seed + self.epoch)
+        if self.image_weights:
+            # class-weighted epoch resampling (reference train.py:318-329)
+            from yolo_series_tpu.utils.general import (
+                labels_to_class_weights, labels_to_image_weights)
+            nc = getattr(self.ds, "nc", None) or int(max(
+                (lb[:, 0].max() for lb in self.ds.labels if len(lb)),
+                default=0)) + 1
+            cw = (self.class_weights if self.class_weights is not None
+                  else labels_to_class_weights(self.ds.labels, nc))
+            iw = labels_to_image_weights(self.ds.labels, nc, cw)
+            order = rng.choice(n, size=n, replace=True,
+                               p=iw / max(iw.sum(), 1e-9))
+        else:
+            order = np.arange(n)
+            if self.shuffle:
+                rng.shuffle(order)
         self.epoch += 1
         nb = len(self)
         batches = [order[i * self.bs:(i + 1) * self.bs] for i in range(nb)]

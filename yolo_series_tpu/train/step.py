@@ -50,7 +50,9 @@ def init_train_state(params, state, opt_cfg: OptimConfig) -> TrainState:
 def make_train_step(plan, loss_fn: Callable, opt_cfg: OptimConfig,
                     mesh=None, accumulate: int = 1,
                     compute_dtype=jnp.bfloat16,
-                    ema_base: float = 0.9999):
+                    ema_base: float = 0.9999,
+                    freeze: int = 0,
+                    resize_to: Optional[int] = None):
     """Build train_step(ts, images, labels, label_mask, lr_groups, momentum).
 
     images: (accum, B, H, W, 3) when accumulate > 1, else (B, H, W, 3);
@@ -61,6 +63,14 @@ def make_train_step(plan, loss_fn: Callable, opt_cfg: OptimConfig,
     built = {}  # optimizer needs the params tree for group masks; built at trace
 
     def loss_and_grad(params, state, images, labels, mask):
+        if resize_to is not None and resize_to != images.shape[-3]:
+            # device-side multi-scale (reference train.py:360-365); labels
+            # are normalized so a full-image resize leaves them unchanged
+            b = images.shape[0]
+            images = jax.image.resize(
+                images, (b, resize_to, resize_to, images.shape[-1]),
+                method="bilinear")
+
         def lf(p):
             out, new_state = apply_model(plan, p, state, images,
                                          training=True, dtype=compute_dtype)
@@ -98,6 +108,19 @@ def make_train_step(plan, loss_fn: Callable, opt_cfg: OptimConfig,
 
         new_params, new_opt = opt_update(ts.opt_state, ts.params, grads,
                                          lr_groups, momentum)
+        if freeze > 0:
+            # hard-freeze the first `freeze` layers: params AND optimizer
+            # slots stay untouched (reference --freeze sets
+            # requires_grad=False, train.py:102-107 — decay must not move
+            # frozen weights either)
+            pl = list(new_params["layers"])
+            for li in range(min(freeze, len(pl))):
+                pl[li] = ts.params["layers"][li]
+            new_params = {**new_params, "layers": pl}
+            vl = list(new_opt["v"]["layers"])
+            for li in range(min(freeze, len(vl))):
+                vl[li] = ts.opt_state["v"]["layers"][li]
+            new_opt = {**new_opt, "v": {**new_opt["v"], "layers": vl}}
         step = ts.step + 1
         updates = step.astype(jnp.float32)
         new_ema_p = ema_update(ts.ema_params, new_params, updates, ema_base)

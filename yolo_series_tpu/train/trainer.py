@@ -72,6 +72,8 @@ class TrainConfig:
     label_smoothing: float = 0.0
     noval: bool = False
     warmup_min_steps: int = 1000  # reference nw floor (train.py:300)
+    multi_scale: bool = False     # bucketed ±25% device-side rescale
+    freeze: int = 0               # freeze first N layers (train.py:102)
 
 
 def _scaled_loss_hyp(hyp: dict, nl: int, nc: int, img_size: int,
@@ -162,8 +164,22 @@ def train(tc: TrainConfig, train_ds: Optional[DetectionDataset] = None,
     if mesh is not None:
         ts = jax.device_put(ts, replicated(mesh))
 
-    step_fn = make_train_step(plan, loss_fn, opt_cfg, mesh=mesh,
-                              compute_dtype=tc.compute_dtype)
+    gs = int(max(head.strides))
+    if tc.multi_scale:
+        # size buckets at ±25% rounded to the max stride; one compiled step
+        # per bucket (the reference re-interpolates every batch over ±50%,
+        # train.py:360 — unbounded shape churn that XLA can't cache)
+        sizes = sorted({int(round(tc.img_size * s / gs)) * gs
+                        for s in (0.75, 1.0, 1.25)})
+        step_fns = {sz: make_train_step(
+            plan, loss_fn, opt_cfg, mesh=mesh,
+            compute_dtype=tc.compute_dtype, freeze=tc.freeze,
+            resize_to=sz) for sz in sizes}
+        size_rng = np.random.default_rng(tc.seed + 777)
+    else:
+        step_fn = make_train_step(plan, loss_fn, opt_cfg, mesh=mesh,
+                                  compute_dtype=tc.compute_dtype,
+                                  freeze=tc.freeze)
 
     if train_ds is None:
         is_human = data_cfg.get("dataset") == "human"
@@ -201,7 +217,9 @@ def train(tc: TrainConfig, train_ds: Optional[DetectionDataset] = None,
                 hyp["lr0"], hyp["lrf"], hyp["warmup_bias_lr"],
                 hyp["warmup_momentum"], hyp["momentum"],
                 cosine=not tc.linear_lr)
-            ts, metrics = step_fn(
+            fn = (step_fns[sizes[size_rng.integers(len(sizes))]]
+                  if tc.multi_scale else step_fn)
+            ts, metrics = fn(
                 ts, jnp.asarray(batch["images"], jnp.float32) / 255.0,
                 jnp.asarray(batch["labels"]), jnp.asarray(batch["label_mask"]),
                 lr_groups, mom)
