@@ -184,3 +184,30 @@ def test_random_perspective_keeps_valid_boxes():
     if len(t):
         assert (t[:, 1:5] >= 0).all()
         assert (t[:, [1, 3]] <= 320).all() and (t[:, [2, 4]] <= 320).all()
+
+
+def test_cache_images(coco_tree):
+    root, _ = coco_tree
+    ds = DetectionDataset(str(root / "images"), img_size=320, batch_size=4,
+                          augment=False, cache_images=True)
+    ds2 = DetectionDataset(str(root / "images"), img_size=320, batch_size=4,
+                           augment=False)
+    a, _, _, _ = ds[3]
+    b, _, _, _ = ds2[3]
+    np.testing.assert_array_equal(a, b)
+
+
+def test_native_loader_matches_python(coco_tree):
+    from yolo_series_tpu.data.native import load_letterbox_batch, native_available
+
+    if not native_available():
+        pytest.skip("native loader toolchain unavailable")
+    root, files = coco_tree
+    out, metas = load_letterbox_batch(files[:4], 320, scaleup=False,
+                                      n_threads=2)
+    assert out.shape == (4, 320, 320, 3)
+    assert metas[:, 5].all()  # all decoded
+    img0 = cv2.imread(files[0])
+    py, r, (dw, dh) = letterbox(img0, 320, auto=False, scaleup=False)
+    np.testing.assert_array_equal(out[0], py[:, :, ::-1])
+    np.testing.assert_allclose(metas[0][:3], [r[0], dw, dh], atol=1e-5)

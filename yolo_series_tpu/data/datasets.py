@@ -201,6 +201,8 @@ class DetectionDataset:
         n = len(im_files)
         self.indices = np.arange(n)
         self.batch_index = np.floor(np.arange(n) / batch_size).astype(int)
+        self._cache_images = cache_images
+        self._img_cache = None
 
         if self.rect:
             # aspect-ratio sort + per-batch shapes (reference
@@ -226,13 +228,11 @@ class DetectionDataset:
             self.batch_shapes = np.ceil(
                 np.array(shapes) * img_size / stride + pad).astype(int) * stride
 
+        if self._cache_images:  # after any rect re-ordering
+            self._img_cache = [self._read_resize(i) for i in range(n)]
+
     def __len__(self):
         return len(self.im_files)
-
-        self._img_cache = [None] * n if cache_images else None
-        if cache_images:
-            for i in range(n):
-                self._img_cache[i] = self._read_resize(i)
 
     # -- image io ---------------------------------------------------------
 

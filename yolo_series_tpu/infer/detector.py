@@ -93,6 +93,18 @@ class Detector:
             results.append(det)
         return results[0] if single else results
 
+    def predict(self, images, paths=None):
+        """Run detection and wrap in a rich Detections object (the
+        autoshape+Detections surface, reference common.py:865-1012)."""
+        from yolo_series_tpu.infer.results import Detections
+
+        single = isinstance(images, np.ndarray) and images.ndim == 3
+        imgs = [images] if single else list(images)
+        dets = self(imgs if len(imgs) > 1 else imgs[0])
+        if isinstance(dets, np.ndarray):
+            dets = [dets]
+        return Detections(imgs, dets, names=self.plan.names, paths=paths)
+
 
 def draw_detections(im0, det, names=(), line_thickness=3):
     """Render detections onto a BGR image (reference detect.py:179-192)."""

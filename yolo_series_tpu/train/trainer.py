@@ -71,6 +71,7 @@ class TrainConfig:
     compute_dtype: Any = jnp.bfloat16
     label_smoothing: float = 0.0
     noval: bool = False
+    autoanchor: bool = True       # BPR check + kmeans/GA recompute (train.py:278)
     warmup_min_steps: int = 1000  # reference nw floor (train.py:300)
     multi_scale: bool = False     # bucketed ±25% device-side rescale
     freeze: int = 0               # freeze first N layers (train.py:102)
@@ -191,6 +192,28 @@ def train(tc: TrainConfig, train_ds: Optional[DetectionDataset] = None,
                         [data_cfg.get("crowd_human_train_label_file")] if p],
             xml_dir=data_cfg.get("safety_helmet_dataset_label_dir"),
             cut_max_len=int(data_cfg.get("cut_max_len", -1)))
+    if tc.autoanchor and not tc.resume:
+        try:
+            from yolo_series_tpu.utils.autoanchor import check_anchors
+            apx = head.anchors_grid()
+            bpr, new_anchors = check_anchors(
+                train_ds.labels, train_ds.shapes, apx, head.strides,
+                thr=hyp["anchor_t"], imgsz=tc.img_size)
+            if new_anchors is not None:
+                nl_, na_ = apx.shape[0], apx.shape[1]
+                anc_list = new_anchors.reshape(nl_, na_ * 2).round(2).tolist()
+                plan = compile_graph(tc.cfg, nc=nc, anchors=anc_list)
+                head = plan.head
+                if is_aux:
+                    loss_fn = make_compute_loss_aux_ota(head, loss_hyp, tc.img_size)
+                elif hyp.get("loss_ota", 1):
+                    loss_fn = make_compute_loss_ota(head, loss_hyp, tc.img_size)
+                else:
+                    loss_fn = make_compute_loss(head, loss_hyp)
+                print("autoanchor: anchors updated")
+        except Exception as e:  # noqa: BLE001
+            print(f"autoanchor skipped: {e}")
+
     loader = create_loader(train_ds, batch_size=tc.batch_size,
                            max_labels=tc.max_labels, seed=tc.seed)
     nb = len(loader)
