@@ -53,7 +53,7 @@ def main():
 
     nms_fn = functools.partial(
         _single_image_nms, conf_thres=0.25, iou_thres=0.45, multi_label=False,
-        agnostic=False, max_det=300, max_nms=512, max_wh=4096.0, nc=m.plan.nc,
+        agnostic=False, max_det=300, max_nms=256, max_wh=4096.0, nc=m.plan.nc,
         tile=256, class_mask=None, score_dtype=jnp.bfloat16)
 
     @jax.jit
