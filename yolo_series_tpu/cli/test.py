@@ -52,7 +52,7 @@ def run_eval(opt, img_size=None):
         compute_dtype=jnp.bfloat16 if opt.half else jnp.float32,
         save_json=str(Path(opt.project) / "predictions.json")
         if opt.save_json else None,
-        v5_metric=opt.v5_metric)
+        v5_metric=opt.v5_metric, augment=opt.augment)
     print(f"images={res['seen']} P={res['mp']:.4f} R={res['mr']:.4f} "
           f"mAP@.5={res['map50']:.4f} mAP@.5:.95={res['map']:.4f} "
           f"({res['speed_ms']['inference']:.1f}ms inf "
@@ -75,6 +75,7 @@ def main():
     p.add_argument("--max-labels", type=int, default=256)
     p.add_argument("--task", default="val", choices=["val", "test", "speed", "study"])
     p.add_argument("--half", action="store_true")
+    p.add_argument("--augment", action="store_true", help="TTA eval")
     p.add_argument("--no-rect", action="store_true")
     p.add_argument("--no-fuse", action="store_true")
     p.add_argument("--save-json", action="store_true")

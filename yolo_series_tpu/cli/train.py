@@ -69,7 +69,7 @@ def main():
         label_smoothing=opt.label_smoothing, max_labels=opt.max_labels,
         noval=opt.noval, save_period=opt.save_period, seed=opt.seed,
         n_data_devices=opt.devices, multi_scale=opt.multi_scale,
-        freeze=opt.freeze)
+        freeze=opt.freeze, image_weights=opt.image_weights)
     if opt.evolve:
         from yolo_series_tpu.train.evolve import evolve
         evolve(tc, generations=opt.evolve_gens)

@@ -178,6 +178,19 @@ class DetectionDataset:
         self.pad = pad
         self.mosaic = augment and not rect
         self.mosaic_border = [-img_size // 2, -img_size // 2]
+        # optional Albumentations hook (reference datasets.py:1511-1533);
+        # silently disabled when the package is absent
+        self.albumentations = None
+        if augment:
+            try:
+                import albumentations as A_lib
+                self.albumentations = A_lib.Compose(
+                    [A_lib.Blur(p=0.01), A_lib.MedianBlur(p=0.01),
+                     A_lib.ToGray(p=0.01), A_lib.CLAHE(p=0.01)],
+                    bbox_params=A_lib.BboxParams(
+                        format="pascal_voc", label_fields=["class_labels"]))
+            except Exception:
+                pass
 
         im_files = _scan_img_files(path)
         assert im_files, f"no images found in {path}"
@@ -346,6 +359,17 @@ class DetectionDataset:
                     rng=random)
 
         if self.augment:
+            if self.albumentations is not None and len(labels):
+                try:
+                    t = self.albumentations(
+                        image=img, bboxes=labels[:, 1:5],
+                        class_labels=labels[:, 0])
+                    img = t["image"]
+                    labels = np.array(
+                        [[c, *b] for c, b in zip(t["class_labels"],
+                                                 t["bboxes"])], np.float32)
+                except Exception:
+                    pass
             A.augment_hsv(img, hyp["hsv_h"], hyp["hsv_s"], hyp["hsv_v"], random)
             if random.random() < hyp.get("paste_in", 0):
                 samples = self._sample_segments(30)

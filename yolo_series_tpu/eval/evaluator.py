@@ -50,7 +50,8 @@ def evaluate(plan, params, state, loader, *,
              compute_dtype=jnp.float32, names=(),
              confusion: bool = False, save_json: Optional[str] = None,
              coco_ids: Optional[List[int]] = None,
-             v5_metric: bool = False, verbose: bool = False):
+             v5_metric: bool = False, verbose: bool = False,
+             augment: bool = False):
     """Run mAP evaluation over a loader of letterboxed batches.
 
     Returns dict with mp, mr, map50, map, per-class ap, speed, fitness.
@@ -58,11 +59,19 @@ def evaluate(plan, params, state, loader, *,
     nc = plan.nc
     iouv = np.linspace(0.5, 0.95, 10)
 
-    @jax.jit
-    def forward(params, state, x):
-        out, _ = apply_model(plan, params, state, x, training=False,
-                             dtype=compute_dtype)
-        return out["pred"]
+    if augment:  # multi-scale + flip TTA (reference test.py --augment)
+        from yolo_series_tpu.models.tta import apply_model_tta
+
+        @jax.jit
+        def forward(params, state, x):
+            return apply_model_tta(plan, params, state, x,
+                                   dtype=compute_dtype)
+    else:
+        @jax.jit
+        def forward(params, state, x):
+            out, _ = apply_model(plan, params, state, x, training=False,
+                                 dtype=compute_dtype)
+            return out["pred"]
 
     stats = []
     cm = ConfusionMatrix(nc) if confusion else None

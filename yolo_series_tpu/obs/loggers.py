@@ -81,3 +81,26 @@ class ExperimentLogger:
             self.tb.close()
         if self.wandb_run:
             self.wandb_run.finish()
+
+
+def log_dataset_artifact(data_yaml: str, project: str = "yolo-series-tpu"):
+    """Upload a dataset as a W&B artifact (reference log_dataset.py +
+    wandb_utils.py:193-261). No-op when wandb is unavailable."""
+    try:
+        import wandb
+        import yaml
+    except Exception as e:  # noqa: BLE001
+        logging.info(f"log_dataset skipped: {e}")
+        return None
+    with open(data_yaml) as f:
+        data = yaml.safe_load(f)
+    run = wandb.init(project=project, job_type="dataset")
+    art = wandb.Artifact(name=Path(data_yaml).stem, type="dataset",
+                         metadata=data)
+    for split in ("train", "val"):
+        p = data.get(split)
+        if p and Path(p).exists():
+            (art.add_dir if Path(p).is_dir() else art.add_file)(str(p))
+    run.log_artifact(art)
+    run.finish()
+    return art

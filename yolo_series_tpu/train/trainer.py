@@ -75,6 +75,7 @@ class TrainConfig:
     warmup_min_steps: int = 1000  # reference nw floor (train.py:300)
     multi_scale: bool = False     # bucketed ±25% device-side rescale
     freeze: int = 0               # freeze first N layers (train.py:102)
+    image_weights: bool = False   # class-weighted epoch resampling
 
 
 def _scaled_loss_hyp(hyp: dict, nl: int, nc: int, img_size: int,
@@ -108,6 +109,11 @@ def train(tc: TrainConfig, train_ds: Optional[DetectionDataset] = None,
     (save_dir / "weights").mkdir(parents=True, exist_ok=True)
     with open(save_dir / "hyp.yaml", "w") as f:
         yaml.dump(hyp, f)
+    with open(save_dir / "opt.yaml", "w") as f:  # resume re-reads this
+        yaml.dump({k: v for k, v in dataclasses.asdict(tc).items()
+                   if isinstance(v, (int, float, str, bool, type(None)))}, f)
+    from yolo_series_tpu.obs.loggers import ExperimentLogger
+    logger = ExperimentLogger(save_dir)
 
     data_cfg: dict = {}
     if tc.data:
@@ -215,7 +221,8 @@ def train(tc: TrainConfig, train_ds: Optional[DetectionDataset] = None,
             print(f"autoanchor skipped: {e}")
 
     loader = create_loader(train_ds, batch_size=tc.batch_size,
-                           max_labels=tc.max_labels, seed=tc.seed)
+                           max_labels=tc.max_labels, seed=tc.seed,
+                           image_weights=tc.image_weights)
     nb = len(loader)
     warmup_steps = max(round(hyp["warmup_epochs"] * nb), tc.warmup_min_steps)
 
@@ -274,6 +281,8 @@ def train(tc: TrainConfig, train_ds: Optional[DetectionDataset] = None,
                             ts, **ckpt_kw)
         print(f"epoch {epoch}: " + " ".join(f"{k}={v:.4f}" if isinstance(v, float)
                                             else f"{k}={v}" for k, v in row.items()))
+        logger.log_scalars({k: v for k, v in row.items()
+                            if isinstance(v, (int, float))}, step)
         if callbacks and "on_epoch_end" in callbacks:
             callbacks["on_epoch_end"](epoch, row, ts)
 
@@ -282,5 +291,7 @@ def train(tc: TrainConfig, train_ds: Optional[DetectionDataset] = None,
         plot_results(results_rows, save_dir)
     except Exception as e:  # noqa: BLE001
         print(f"plot_results failed: {e}")
+    logger.finish()
+    (save_dir / "DONE").write_text("ok")  # resume scanner marker
     return {"best_fitness": best_fitness, "results": results_rows,
             "save_dir": str(save_dir), "train_state": ts, "plan": plan}
