@@ -17,6 +17,8 @@ CFGS = {
     "deploy/yolov7-tiny": "cfg/deploy/yolov7-tiny.yaml",
     "training/yolov7-tiny": "cfg/training/yolov7-tiny.yaml",
     "training/yolov7": "cfg/training/yolov7.yaml",
+    # P6 path: ReOrg stem, DownC, IAuxDetect (lead-only decode at eval)
+    "training/yolov7-w6": "cfg/training/yolov7-w6.yaml",
 }
 
 

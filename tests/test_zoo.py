@@ -146,3 +146,21 @@ def test_ibin_ikeypoint_heads():
         out, _ = head.apply(p, s, xs, Ctx(training=False))
         assert out["pred"].shape[-1] == exp_cols
         assert np.all(np.isfinite(np.asarray(out["pred"])))
+
+
+def test_evolve_mutation_bounds(tmp_path):
+    from yolo_series_tpu.train.evolve import EVOLVE_META, append_result, mutate
+
+    hyp = {k: (lo + hi) / 2 for k, (_, lo, hi) in EVOLVE_META.items()}
+    txt = tmp_path / "evolve.txt"
+    # no history: returns clipped copy
+    h1 = mutate(dict(hyp), txt)
+    for k, (_, lo, hi) in EVOLVE_META.items():
+        assert lo <= h1[k] <= hi
+    # with history: mutated values stay in bounds
+    append_result(txt, [0.5, 0.5, 0.4, 0.3], hyp)
+    append_result(txt, [0.6, 0.6, 0.5, 0.4], hyp)
+    np.random.seed(0)
+    h2 = mutate(dict(hyp), txt)
+    for k, (_, lo, hi) in EVOLVE_META.items():
+        assert lo <= h2[k] <= hi, k
