@@ -144,3 +144,26 @@ def test_keep_mask_full_matches_tiled(n, thr):
     full = np.asarray(nms_keep_mask_full(jnp.asarray(boxes_sorted), thr))
     exp = _greedy_nms_oracle(boxes, scores, thr)
     np.testing.assert_array_equal(order[full], exp)
+
+
+def test_pallas_nms_kernel_interpret():
+    """Pallas NMS kernel (interpret mode on CPU) matches the greedy oracle."""
+    from yolo_series_tpu.ops.pallas_nms import nms_keep_mask_pallas
+
+    rng = np.random.default_rng(3)
+    B, K = 4, 128
+    boxes_list, keep_exp = [], []
+    for i in range(B):
+        boxes, scores = _rand_boxes_scores(K, np.random.default_rng(50 + i))
+        order = np.argsort(-scores)
+        b = boxes[order]
+        boxes_list.append(b)
+        exp_idx = _greedy_nms_oracle(b, -np.arange(K, dtype=np.float32), 0.45)
+        mask = np.zeros(K, bool)
+        mask[exp_idx] = True
+        keep_exp.append(mask)
+    boxes = np.stack(boxes_list).astype(np.float32)
+    valid = np.ones((B, K), bool)
+    keep = np.asarray(nms_keep_mask_pallas(
+        jnp.asarray(boxes), jnp.asarray(valid), 0.45, interpret=True))
+    np.testing.assert_array_equal(keep, np.stack(keep_exp))
