@@ -457,3 +457,62 @@ class RepConvOREPA(Composite):
             wi, bi = _bn_as_conv(self.c1, self.g, params["idbn"], state["idbn"])
             w, b = w + wi, b + bi
         return {"w": w, "b": b}, {}
+
+
+@dataclasses.dataclass(frozen=True)
+class Classify(Composite):
+    """Classification head: adaptive-avg-pool to 1x1 + conv + flatten
+    (reference common.py:1015-1025)."""
+
+    c1: int
+    c2: int
+    k: int = 1
+    s: int = 1
+    p: Optional[int] = None
+    g: int = 1
+
+    @property
+    def cout(self):
+        return self.c2
+
+    def children(self):
+        return {}
+
+    def init(self, key):
+        k1, k2 = jax.random.split(key)
+        fan_in = (self.c1 // self.g) * self.k * self.k
+        return {"w": conv_kernel_init(k1, self.k, self.k, self.c1 // self.g,
+                                      self.c2),
+                "b": conv_bias_init(k2, self.c2, fan_in)}, {}
+
+    def apply(self, params, state, x, ctx):
+        xs = x if isinstance(x, (list, tuple)) else [x]
+        pooled = [jnp.mean(xi, axis=(1, 2), keepdims=True) for xi in xs]
+        y = jnp.concatenate(pooled, axis=-1)
+        y = conv2d(y, params["w"], self.s, autopad(self.k, self.p), self.g,
+                   ctx.dtype)
+        y = y + params["b"].astype(y.dtype)
+        return y.reshape(y.shape[0], -1), state
+
+
+@dataclasses.dataclass(frozen=True)
+class FReLU(Block):
+    """Funnel activation: max(x, depthwise_conv_bn(x))
+    (reference utils/activations.py FReLU)."""
+
+    c1: int
+    k: int = 3
+
+    @property
+    def cout(self):
+        return self.c1
+
+    def init(self, key):
+        w = conv_kernel_init(key, self.k, self.k, 1, self.c1)
+        bnp, bns = bn_init(self.c1)
+        return {"w": w, "bn": bnp}, {"bn": bns}
+
+    def apply(self, params, state, x, ctx):
+        y = conv2d(x, params["w"], 1, self.k // 2, self.c1, ctx.dtype)
+        y, bns = batch_norm(params["bn"], state["bn"], y, ctx)
+        return jnp.maximum(x, y), {"bn": bns}

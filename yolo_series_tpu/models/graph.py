@@ -65,6 +65,7 @@ _REF_NAMES = {
     "ST2CSPA": "st2cspa", "ST2CSPB": "st2cspb", "ST2CSPC": "st2cspc",
     "TransformerBlock": "transformerblock",
     "RepConv_OREPA": "repconv_orepa",
+    "Classify": "classify", "FReLU": "frelu",
 }
 
 # conv-family modules: args start [c2, ...] and get width scaling
@@ -77,7 +78,7 @@ _CONV_FAMILY = {
     "robustconv", "robustconv2", "crossconv", "mixconv2d",
     "swintransformerblock", "swintransformer2block",
     "stcspa", "stcspb", "stcspc", "st2cspa", "st2cspb", "st2cspc",
-    "transformerblock", "repconv_orepa",
+    "transformerblock", "repconv_orepa", "classify",
 }
 # subset that takes an inner repeat count inserted at args[2]
 _TAKES_N = {
@@ -107,6 +108,7 @@ _BLOCK_CLASSES = {
     "robustconv": X.RobustConv, "robustconv2": X.RobustConv2,
     "crossconv": X.CrossConv, "mixconv2d": X.MixConv2d,
     "repconv_orepa": X.RepConvOREPA,
+    "classify": X.Classify, "frelu": X.FReLU,
     "swintransformerblock": ATT.SwinTransformerBlock,
     "stcspa": ATT.STCSPA, "stcspb": ATT.STCSPB, "stcspc": ATT.STCSPC,
     "st2cspa": ATT.ST2CSPA, "st2cspb": ATT.ST2CSPB, "st2cspc": ATT.ST2CSPC,
