@@ -37,10 +37,12 @@ def detect(opt):
     save_dir = increment_path(Path(opt.project) / opt.name, opt.exist_ok)
     (save_dir / "labels" if opt.save_txt else save_dir).mkdir(parents=True,
                                                               exist_ok=True)
+    weights = opt.weights[0] if len(opt.weights) == 1 else opt.weights
     det = Detector.from_checkpoint(
-        opt.weights, cfg=opt.cfg, img_size=opt.img_size,
+        weights, cfg=opt.cfg, img_size=opt.img_size,
         conf_thres=opt.conf_thres, iou_thres=opt.iou_thres,
-        classes=opt.classes, agnostic=opt.agnostic_nms, fuse=not opt.no_fuse)
+        classes=opt.classes, agnostic=opt.agnostic_nms, fuse=not opt.no_fuse,
+        augment=opt.augment)
     names = det.plan.names
 
     webcam = opt.source.isnumeric() or opt.source.endswith(".txt") or \
@@ -105,8 +107,9 @@ def detect(opt):
 
 def make_parser():
     p = argparse.ArgumentParser("yolo-series-tpu detect")
-    p.add_argument("--weights", type=str, required=True,
-                   help=".ckpt (native) or .pt (reference import, needs --cfg)")
+    p.add_argument("--weights", nargs="+", type=str, required=True,
+                   help=".ckpt (native) or .pt (reference import, needs "
+                        "--cfg); multiple weights build an ensemble")
     p.add_argument("--cfg", type=str, default=None)
     p.add_argument("--source", type=str, default="inference/images")
     p.add_argument("--img-size", type=int, default=640)
@@ -114,6 +117,7 @@ def make_parser():
     p.add_argument("--iou-thres", type=float, default=0.45)
     p.add_argument("--classes", nargs="+", type=int, default=None)
     p.add_argument("--agnostic-nms", action="store_true")
+    p.add_argument("--augment", action="store_true", help="TTA inference")
     p.add_argument("--save-txt", action="store_true")
     p.add_argument("--save-conf", action="store_true")
     p.add_argument("--nosave", action="store_true")

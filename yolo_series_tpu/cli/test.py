@@ -52,6 +52,9 @@ def run_eval(opt, img_size=None):
         compute_dtype=jnp.bfloat16 if opt.half else jnp.float32,
         save_json=str(Path(opt.project) / "predictions.json")
         if opt.save_json else None,
+        coco_ids=(__import__("yolo_series_tpu.eval.evaluator",
+                             fromlist=["coco80_to_coco91"]).coco80_to_coco91()
+                  if opt.save_json and "coco" in str(opt.data) else None),
         v5_metric=opt.v5_metric, augment=opt.augment)
     print(f"images={res['seen']} P={res['mp']:.4f} R={res['mr']:.4f} "
           f"mAP@.5={res['map50']:.4f} mAP@.5:.95={res['map']:.4f} "

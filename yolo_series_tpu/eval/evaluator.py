@@ -44,6 +44,16 @@ def scale_coords_np(img1_shape, coords, img0_shape, ratio_pad=None):
     return coords
 
 
+def coco80_to_coco91() -> List[int]:
+    """80-class contiguous ids -> COCO paper 91-class category ids
+    (reference general.py coco80_to_coco91_class, used by test.py:262)."""
+    return [1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 13, 14, 15, 16, 17, 18, 19,
+            20, 21, 22, 23, 24, 25, 27, 28, 31, 32, 33, 34, 35, 36, 37, 38,
+            39, 40, 41, 42, 43, 44, 46, 47, 48, 49, 50, 51, 52, 53, 54, 55,
+            56, 57, 58, 59, 60, 61, 62, 63, 64, 65, 67, 70, 72, 73, 74, 75,
+            76, 77, 78, 79, 80, 81, 82, 84, 85, 86, 87, 88, 89, 90]
+
+
 def evaluate(plan, params, state, loader, *,
              conf_thres: float = 0.001, iou_thres: float = 0.65,
              max_det: int = 300, max_nms: int = 8192,

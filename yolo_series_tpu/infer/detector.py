@@ -29,7 +29,8 @@ class Detector:
     def __init__(self, plan, params, state, img_size=640,
                  conf_thres=0.25, iou_thres=0.45, max_det=300,
                  classes: Optional[Sequence[int]] = None,
-                 agnostic=False, dtype=jnp.bfloat16):
+                 agnostic=False, dtype=jnp.bfloat16, augment=False,
+                 extra_models=()):
         self.plan = plan
         self.params = params
         self.state = state
@@ -40,26 +41,53 @@ class Detector:
         self.classes = tuple(classes) if classes is not None else None
         self.agnostic = agnostic
         self.dtype = dtype
+        extra = tuple(extra_models)
 
-        @jax.jit
-        def _run(params, state, x):
-            out, _ = apply_model(plan, params, state, x, training=False,
-                                 dtype=dtype)
-            return out["pred"]
+        if augment:
+            from yolo_series_tpu.models.tta import apply_model_tta
+
+            @jax.jit
+            def _run(params, state, x):
+                return apply_model_tta(plan, params, state, x, dtype=dtype)
+        elif extra:
+            # model ensemble: concat predictions pre-NMS
+            # (reference Ensemble, experimental.py:69-81)
+            @jax.jit
+            def _run(params, state, x):
+                out, _ = apply_model(plan, params, state, x, training=False,
+                                     dtype=dtype)
+                preds = [out["pred"]]
+                for eplan, ep, es in extra:
+                    o2, _ = apply_model(eplan, ep, es, x, training=False,
+                                        dtype=dtype)
+                    preds.append(o2["pred"])
+                return jnp.concatenate(preds, axis=1)
+        else:
+            @jax.jit
+            def _run(params, state, x):
+                out, _ = apply_model(plan, params, state, x, training=False,
+                                     dtype=dtype)
+                return out["pred"]
 
         self._forward = _run
 
     @classmethod
-    def from_checkpoint(cls, weights: str, cfg: Optional[str] = None,
+    def from_checkpoint(cls, weights, cfg: Optional[str] = None,
                         fuse: bool = True, **kw):
-        """Load an orbax/npz checkpoint or a reference .pt (via torch
-        importer) — the attempt_load equivalent (experimental.py:247)."""
+        """Load checkpoint(s) — the attempt_load equivalent
+        (experimental.py:247): .ckpt native or reference .pt (torch
+        importer); a list of paths builds an Ensemble (experimental.py:69)."""
         from yolo_series_tpu.train.checkpoints import load_checkpoint_any
 
-        plan, params, state = load_checkpoint_any(weights, cfg)
-        if fuse:
-            params, state = fuse_model(plan, params, state)
-        return cls(plan, params, state, **kw)
+        paths = [weights] if isinstance(weights, str) else list(weights)
+        loaded = []
+        for w in paths:
+            plan, params, state = load_checkpoint_any(w, cfg)
+            if fuse:
+                params, state = fuse_model(plan, params, state)
+            loaded.append((plan, params, state))
+        plan, params, state = loaded[0]
+        return cls(plan, params, state, extra_models=loaded[1:], **kw)
 
     def __call__(self, images) -> List[np.ndarray]:
         """images: one BGR ndarray or a list of them (any sizes).
