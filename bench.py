@@ -43,10 +43,13 @@ def main():
 
     # init + fuse on the host CPU backend: eager per-layer init through the
     # TPU relay costs minutes; one device_put ships the final tree
+    from yolo_series_tpu.models.faststem import make_fast_stem
+
     cpu = jax.local_devices(backend="cpu")[0]
     with jax.default_device(cpu):
         m = Model.from_yaml("yolo_series_tpu/models/cfg/deploy/yolov7.yaml")
         params, state = fuse_model(m.plan, m.params, m.state)
+        plan, params, state = make_fast_stem(m.plan, params, state)
     tpu = jax.devices()[0]
     params = jax.device_put(params, tpu)
     state = jax.device_put(state, tpu)
@@ -58,7 +61,7 @@ def main():
 
     @jax.jit
     def end2end(x):
-        out, _ = apply_model(m.plan, params, state, x, training=False,
+        out, _ = apply_model(plan, params, state, x, training=False,
                              dtype=jnp.bfloat16)
         return jax.vmap(nms_fn)(out["pred"].astype(jnp.float32))
 

@@ -72,3 +72,30 @@ def test_full_model_fusion_tiny():
     ]
     assert not any("bn" in p for p in paths)
     assert not any("ia" in p or "im" in p for p in paths)
+
+
+def test_fast_stem_equivalence():
+    """Phase-folded stem == standard stem on the fused yolov7-tiny."""
+    from yolo_series_tpu.models.faststem import make_fast_stem
+
+    plan = compile_graph("yolo_series_tpu/models/cfg/deploy/yolov7.yaml")
+    params, state = init_model(plan, jax.random.PRNGKey(0))
+    params, state = fuse_model(plan, params, state)
+    plan2, params2, state2 = make_fast_stem(plan, params, state)
+    assert plan2 is not plan, "pattern should match the yolov7 stem"
+    x = jax.random.uniform(jax.random.PRNGKey(1), (1, 128, 128, 3))
+    out1, _ = apply_model(plan, params, state, x, training=False)
+    out2, _ = apply_model(plan2, params2, state2, x, training=False)
+    np.testing.assert_allclose(np.asarray(out2["pred"]),
+                               np.asarray(out1["pred"]), rtol=1e-4, atol=1e-3)
+
+
+def test_fast_stem_noop_on_tiny():
+    """tiny's stem is k3 s2 (no s1 first conv) — transform must no-op."""
+    from yolo_series_tpu.models.faststem import make_fast_stem
+
+    plan = compile_graph("yolo_series_tpu/models/cfg/deploy/yolov7-tiny.yaml")
+    params, state = init_model(plan, jax.random.PRNGKey(0))
+    params, state = fuse_model(plan, params, state)
+    plan2, p2, s2 = make_fast_stem(plan, params, state)
+    assert plan2 is plan

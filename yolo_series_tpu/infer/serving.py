@@ -36,7 +36,10 @@ class ServingEngine:
 
     def __init__(self, plan, params, state, *, batch_size=8, img_size=640,
                  conf_thres=0.25, iou_thres=0.45, max_det=100,
-                 dtype=jnp.bfloat16, max_nms=1024):
+                 dtype=jnp.bfloat16, max_nms=1024, fast_stem=True):
+        if fast_stem:
+            from yolo_series_tpu.models.faststem import make_fast_stem
+            plan, params, state = make_fast_stem(plan, params, state)
         self.plan = plan
         self.batch_size = batch_size
         self.img_size = img_size
