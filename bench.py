@@ -49,7 +49,7 @@ def main():
     with jax.default_device(cpu):
         m = Model.from_yaml("yolo_series_tpu/models/cfg/deploy/yolov7.yaml")
         params, state = fuse_model(m.plan, m.params, m.state)
-        plan, params, state = make_fast_stem(m.plan, params, state)
+        plan, params, state = make_fast_stem(m.plan, params, state, max_pairs=2)
     tpu = jax.devices()[0]
     params = jax.device_put(params, tpu)
     state = jax.device_put(state, tpu)

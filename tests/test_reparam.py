@@ -81,7 +81,7 @@ def test_fast_stem_equivalence():
     plan = compile_graph("yolo_series_tpu/models/cfg/deploy/yolov7.yaml")
     params, state = init_model(plan, jax.random.PRNGKey(0))
     params, state = fuse_model(plan, params, state)
-    plan2, params2, state2 = make_fast_stem(plan, params, state)
+    plan2, params2, state2 = make_fast_stem(plan, params, state, max_pairs=2)
     assert plan2 is not plan, "pattern should match the yolov7 stem"
     x = jax.random.uniform(jax.random.PRNGKey(1), (1, 128, 128, 3))
     out1, _ = apply_model(plan, params, state, x, training=False)

@@ -39,7 +39,7 @@ class ServingEngine:
                  dtype=jnp.bfloat16, max_nms=1024, fast_stem=True):
         if fast_stem:
             from yolo_series_tpu.models.faststem import make_fast_stem
-            plan, params, state = make_fast_stem(plan, params, state)
+            plan, params, state = make_fast_stem(plan, params, state, max_pairs=2)
         self.plan = plan
         self.batch_size = batch_size
         self.img_size = img_size

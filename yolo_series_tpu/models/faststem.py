@@ -84,36 +84,50 @@ def _phase_weights(w0: np.ndarray, b0: np.ndarray, w1: np.ndarray):
     return w4, b4, w2
 
 
-def make_fast_stem(plan: GraphPlan, params, state):
-    """Returns (plan', params', state') with the stem folded, or the inputs
-    unchanged when the pattern doesn't apply (non-P5 stem / unfused)."""
+def _pair_matches(plan, params, i):
     layers = plan.layers
-    if len(layers) < 3:
-        return plan, params, state
-    l0, l1 = layers[0].block, layers[1].block
-    p0, p1 = params["layers"][0], params["layers"][1]
-    ok = (isinstance(l0, ConvBnAct) and isinstance(l1, ConvBnAct)
-          and l0.k == 3 and l0.s == 1 and l1.k == 3 and l1.s == 2
-          and l0.g == 1 and l1.g == 1 and l0.p is None and l1.p is None
-          and "w" in p0 and "b" in p0 and "w" in p1 and "b" in p1
-          and layers[0].frm == -1 and layers[1].frm == -1
-          and 0 not in plan.save and 1 not in plan.save)
-    if not ok:
-        return plan, params, state
+    if i + 1 >= len(layers) or layers[i].is_head or layers[i + 1].is_head:
+        return False
+    l0, l1 = layers[i].block, layers[i + 1].block
+    p0, p1 = params["layers"][i], params["layers"][i + 1]
+    return (isinstance(l0, ConvBnAct) and isinstance(l1, ConvBnAct)
+            and l0.k == 3 and l0.s == 1 and l1.k == 3 and l1.s == 2
+            and l0.g == 1 and l1.g == 1 and l0.p is None and l1.p is None
+            and isinstance(p0, dict) and isinstance(p1, dict)
+            and "w" in p0 and "b" in p0 and "w" in p1 and "b" in p1
+            and layers[i].frm == -1 and layers[i + 1].frm == -1
+            and i not in plan.save)
 
-    w4, b4, w2 = _phase_weights(np.asarray(p0["w"], np.float32),
-                                np.asarray(p0["b"], np.float32),
-                                np.asarray(p1["w"], np.float32))
-    blk0 = PhasedConv(l0.c1, 4 * l0.c2, (4, 4), 2, ((1, 1), (1, 1)), l0.act)
-    blk1 = PhasedConv(4 * l0.c2, l1.c2, (2, 2), 1, ((1, 0), (1, 0)), l1.act)
-    new_layers = list(layers)
-    new_layers[0] = dataclasses.replace(layers[0], block=blk0,
-                                        cout=4 * l0.c2, stride=2.0)
-    new_layers[1] = dataclasses.replace(layers[1], block=blk1)
-    new_plan = dataclasses.replace(plan, layers=tuple(new_layers))
-    new_params = dict(params)
+
+def make_fast_stem(plan: GraphPlan, params, state, max_pairs: int = 1):
+    """Fold up to `max_pairs` consecutive (k3/s1, k3/s2) conv pairs into
+    phase space, scanning from layer 0. Returns the inputs unchanged when
+    no pair matches (non-P5 stem / unfused params)."""
+    new_layers = list(plan.layers)
     lp = list(params["layers"])
-    lp[0] = {"w": jnp.asarray(w4), "b": jnp.asarray(b4)}
-    lp[1] = {"w": jnp.asarray(w2), "b": jnp.asarray(p1["b"])}
-    new_params["layers"] = lp
-    return new_plan, new_params, state
+    folded = 0
+    i = 0
+    while i + 1 < len(new_layers) and folded < max_pairs:
+        if not _pair_matches(dataclasses.replace(plan, layers=tuple(new_layers)),
+                             {"layers": lp}, i):
+            i += 1
+            continue
+        l0, l1 = new_layers[i].block, new_layers[i + 1].block
+        p0, p1 = lp[i], lp[i + 1]
+        w4, b4, w2 = _phase_weights(np.asarray(p0["w"], np.float32),
+                                    np.asarray(p0["b"], np.float32),
+                                    np.asarray(p1["w"], np.float32))
+        blk0 = PhasedConv(l0.c1, 4 * l0.c2, (4, 4), 2, ((1, 1), (1, 1)), l0.act)
+        blk1 = PhasedConv(4 * l0.c2, l1.c2, (2, 2), 1, ((1, 0), (1, 0)), l1.act)
+        new_layers[i] = dataclasses.replace(new_layers[i], block=blk0,
+                                            cout=4 * l0.c2,
+                                            stride=new_layers[i].stride * 2)
+        new_layers[i + 1] = dataclasses.replace(new_layers[i + 1], block=blk1)
+        lp[i] = {"w": jnp.asarray(w4), "b": jnp.asarray(b4)}
+        lp[i + 1] = {"w": jnp.asarray(w2), "b": jnp.asarray(p1["b"])}
+        folded += 1
+        i += 2
+    if folded == 0:
+        return plan, params, state
+    return (dataclasses.replace(plan, layers=tuple(new_layers)),
+            {**params, "layers": lp}, state)
