@@ -30,7 +30,11 @@ class Detector:
                  conf_thres=0.25, iou_thres=0.45, max_det=300,
                  classes: Optional[Sequence[int]] = None,
                  agnostic=False, dtype=jnp.bfloat16, augment=False,
-                 extra_models=()):
+                 extra_models=(), fast_stem=True):
+        if fast_stem and not augment and not extra_models:
+            from yolo_series_tpu.models.faststem import make_fast_stem
+            plan, params, state = make_fast_stem(plan, params, state,
+                                                 max_pairs=2)
         self.plan = plan
         self.params = params
         self.state = state
