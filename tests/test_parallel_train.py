@@ -157,3 +157,27 @@ def test_multi_scale_and_freeze_step():
     a = jax.tree_util.tree_leaves(ts2.params["layers"][21])  # 20 is a Concat
     b = jax.tree_util.tree_leaves(p0["layers"][21])
     assert any(float(jnp.max(jnp.abs(x1 - x2))) > 0 for x1, x2 in zip(a, b))
+
+
+def test_host_local_slice():
+    from yolo_series_tpu.parallel.mesh import host_local_slice
+
+    s = host_local_slice(64, process_index=2, process_count=4)
+    assert (s.start, s.stop) == (32, 48)
+    s0 = host_local_slice(64)  # single-process: the whole batch
+    assert (s0.start, s0.stop) == (0, 64)
+
+
+def test_warmup_factors_schedule():
+    # inside warmup: bias lr descends from warmup_bias_lr, main lr ascends
+    lr0, lrf = 0.01, 0.1
+    lr_g, mom = warmup_factors(jnp.float32(0), 100, jnp.float32(0.0), 300,
+                               lr0, lrf, 0.1, 0.8, 0.937)
+    assert float(lr_g[2]) == pytest.approx(0.1, abs=1e-6)   # bias starts high
+    assert float(lr_g[0]) == pytest.approx(0.0, abs=1e-6)   # main starts at 0
+    assert float(mom) == pytest.approx(0.8, abs=1e-6)
+    # past warmup: all groups at the cosine schedule value
+    lr_g2, mom2 = warmup_factors(jnp.float32(1000), 100, jnp.float32(0.0),
+                                 300, lr0, lrf, 0.1, 0.8, 0.937)
+    assert float(lr_g2[0]) == pytest.approx(float(lr_g2[2]))
+    assert float(mom2) == pytest.approx(0.937, abs=1e-6)
