@@ -64,3 +64,30 @@ def host_local_slice(n: int, process_index: Optional[int] = None,
     pc = jax.process_count() if process_count is None else process_count
     per = n // pc
     return slice(pi * per, (pi + 1) * per)
+
+
+def param_partition_specs(params, n_model: int, model_axis: str = "model"):
+    """Tensor-parallel sharding rules: a PartitionSpec pytree matching params.
+
+    The reference has no TP (SURVEY.md §2.7); here the reserved 'model' mesh
+    axis is made real with Megatron-style column-parallel conv weights:
+    every 4-D conv kernel whose output-channel count divides the model-axis
+    size is sharded over that axis (XLA propagates the sharding through the
+    conv and inserts the gathers/reshards it needs); everything else —
+    biases, BN, implicit vectors, odd-channel head convs — replicates.
+    """
+    def spec_for(path, leaf):
+        name = ""
+        for p in reversed(path):
+            k = getattr(p, "key", None)
+            if isinstance(k, str):
+                name = k
+                break
+        if (name == "w" and getattr(leaf, "ndim", 0) == 4
+                and leaf.shape[-1] % n_model == 0):
+            return P(None, None, None, model_axis)
+        return P()
+
+    flat = jax.tree_util.tree_flatten_with_path(params)
+    leaves = [spec_for(path, leaf) for path, leaf in flat[0]]
+    return jax.tree_util.tree_unflatten(flat[1], leaves)

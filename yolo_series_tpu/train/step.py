@@ -139,10 +139,12 @@ def make_train_step(plan, loss_fn: Callable, opt_cfg: OptimConfig,
         bsh = NamedSharding(mesh, spec)
         rep = replicated(mesh)
         n_batch_args = 3
-        in_shardings = (rep,) + (bsh,) * n_batch_args + (rep, rep)
+        # TrainState sharding is inferred from the actual arrays (params may
+        # carry tensor-parallel shardings, parallel/mesh.param_partition_specs)
+        in_shardings = (None,) + (bsh,) * n_batch_args + (rep, rep)
         train_step = jax.jit(train_step,
                              in_shardings=in_shardings,
-                             out_shardings=(rep, rep),
+                             out_shardings=(None, rep),
                              donate_argnums=(0,))
     else:
         train_step = jax.jit(train_step, donate_argnums=(0,))
