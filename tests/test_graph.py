@@ -65,3 +65,31 @@ def test_grad_flows_tiny():
     assert all(np.all(np.isfinite(np.asarray(l))) for l in leaves)
     # some gradient must be nonzero
     assert any(float(jnp.max(jnp.abs(l))) > 0 for l in leaves)
+
+
+def test_dsl_long_tail_blocks():
+    """Long-tail blocks compile and run through the YAML DSL end to end."""
+    cfg = {
+        "nc": 4, "depth_multiple": 1.0, "width_multiple": 1.0,
+        "anchors": [[10, 13, 16, 30, 33, 23]],
+        "backbone": [
+            [-1, 1, "ghoststem", [32]],
+            [-1, 1, "robustconv", [32, 7, 1]],
+            [-1, 1, "crossconv", [32, 3, 1]],
+            [-1, 1, "mixconv2d", [32]],
+            [-1, 1, "stcspa", [64]],
+            [-1, 1, "transformerblock", [64, 4, 1]],
+            [[-1, -2], 1, "sum", [2]],
+        ],
+        "head": [
+            [-1, 1, "ghostsppcspc", [64]],
+            [-1, 1, "repconv_orepa", [64, 3, 1]],
+            [[-1], 1, "idetect", ["nc", "anchors"]],
+        ],
+    }
+    plan = compile_graph(cfg)
+    params, state = init_model(plan, jax.random.PRNGKey(0))
+    out, _ = apply_model(plan, params, state,
+                         jnp.ones((1, 64, 64, 3)), training=False)
+    assert out["pred"].shape[-1] == 9  # nc 4 + 5
+    assert np.all(np.isfinite(np.asarray(out["pred"])))
