@@ -112,6 +112,32 @@ def test_loader_contract(coco_tree):
     assert b["label_mask"].sum() > 0
 
 
+def test_loader_propagates_worker_errors(coco_tree):
+    """A corrupt sample must fail the epoch loudly, not truncate it."""
+    import pytest
+
+    root, _ = coco_tree
+    ds = DetectionDataset(str(root / "images"), img_size=320, batch_size=4,
+                          augment=False)
+
+    class Corrupt:
+        labels = ds.labels
+        nc = getattr(ds, "nc", None)
+
+        def __len__(self):
+            return len(ds)
+
+        def __getitem__(self, i):
+            if i == 2:
+                raise OSError("corrupt image")
+            return ds[i]
+
+    loader = create_loader(Corrupt(), batch_size=4, max_labels=64,
+                           shuffle=False)
+    with pytest.raises(OSError, match="corrupt image"):
+        list(loader)
+
+
 def test_human_dataset_kind(tmp_path):
     """CrowdHuman odgt + SHEL xml joint labels with cut_max_len."""
     imgdir = tmp_path / "images" / "CrowdHuman"

@@ -33,6 +33,59 @@ def shapes_dataset(tmp_path_factory):
     return root
 
 
+def test_autoanchor_reaches_training(shapes_dataset, tmp_path):
+    """Recomputed anchors must reach BOTH the jitted train step's plan and
+    the checkpoint cfg (advisor finding: the old trainer rebuilt the plan
+    after step_fn creation, so training ran with stale anchors)."""
+    import jax.numpy as jnp
+
+    from yolo_series_tpu.data.datasets import DetectionDataset
+    from yolo_series_tpu.models.graph import compile_graph
+    from yolo_series_tpu.train.checkpoints import load_checkpoint_any
+    from yolo_series_tpu.train.trainer import TrainConfig, train
+
+    img_size = 160
+    hyp = {"mosaic": 0.0, "mixup": 0.0, "paste_in": 0.0, "loss_ota": 0}
+    # extreme-aspect boxes: default anchors give BPR << 0.98, forcing the
+    # kmeans/GA recompute (reference autoanchor.py:23-59)
+    root = tmp_path / "thin"
+    (root / "images").mkdir(parents=True)
+    (root / "labels").mkdir()
+    rng = np.random.default_rng(3)
+    for i in range(8):
+        img = rng.integers(40, 90, (160, 160, 3)).astype(np.uint8)
+        rows = []
+        for j in range(4):  # 32 varied thin boxes >= 9 kmeans clusters
+            w = float(rng.uniform(0.5, 0.95))
+            h = float(rng.uniform(0.02, 0.06))
+            if (i + j) % 2:
+                w, h = h, w
+            rows.append(f"0 0.5 {0.15 + 0.22 * j:.3f} {w:.4f} {h:.4f}")
+        cv2.rectangle(img, (8, 76), (152, 84), (40, 40, 230), -1)
+        cv2.imwrite(str(root / "images" / f"t{i}.jpg"), img)
+        (root / "labels" / f"t{i}.txt").write_text("\n".join(rows))
+    train_ds = DetectionDataset(str(root / "images"), img_size=img_size,
+                                batch_size=8, augment=False, hyp=hyp)
+    data_yaml = tmp_path / "data.yaml"
+    data_yaml.write_text(yaml.dump({
+        "train": str(root / "images"),
+        "val": str(root / "images"), "nc": 1, "names": ["box"]}))
+    cfg = "yolo_series_tpu/models/cfg/training/yolov7-tiny.yaml"
+    tc = TrainConfig(cfg=cfg, data=str(data_yaml), hyp=hyp, epochs=1,
+                     batch_size=8, img_size=img_size,
+                     save_dir=str(tmp_path / "run_aa"),
+                     compute_dtype=jnp.float32, max_labels=32, noval=True,
+                     save_period=-1, nominal_batch_size=8, autoanchor=True)
+    out = train(tc, train_ds=train_ds, val_ds=None)
+
+    orig = compile_graph(cfg, nc=1).head.anchors
+    trained = out["plan"].head.anchors
+    assert trained != orig, "autoanchor did not fire; test is vacuous"
+    plan_loaded, _, _ = load_checkpoint_any(
+        str(tmp_path / "run_aa" / "weights" / "last.ckpt"))
+    assert plan_loaded.head.anchors == trained
+
+
 def test_train_eval_detect_roundtrip(shapes_dataset, tmp_path):
     import jax.numpy as jnp
 
@@ -47,7 +100,10 @@ def test_train_eval_detect_roundtrip(shapes_dataset, tmp_path):
     img_size = 160
     hyp = {"mosaic": 1.0, "mixup": 0.0, "paste_in": 0.0, "scale": 0.5,
            "translate": 0.1, "lr0": 0.01, "warmup_epochs": 1.0,
-           "loss_ota": 1}
+           "loss_ota": 1,
+           # reference warmup_bias_lr=0.1 assumes a >=1000-step ramp; with
+           # this 16-step warmup it kicks every BN/conv bias too hard
+           "warmup_bias_lr": 0.01}
     train_ds = DetectionDataset(str(shapes_dataset / "images"),
                                 img_size=img_size, batch_size=8, augment=True,
                                 hyp=hyp)
@@ -62,10 +118,13 @@ def test_train_eval_detect_roundtrip(shapes_dataset, tmp_path):
 
     tc = TrainConfig(
         cfg="yolo_series_tpu/models/cfg/training/yolov7-tiny.yaml",
-        data=str(data_yaml), hyp=hyp, epochs=70, batch_size=8,
+        data=str(data_yaml), hyp=hyp, epochs=90, batch_size=8,
         img_size=img_size, save_dir=str(tmp_path / "run"),
         compute_dtype=jnp.float32, max_labels=32, eval_every=100,
-        noval=True, save_period=-1, warmup_min_steps=16)
+        noval=True, save_period=-1, warmup_min_steps=16,
+        nominal_batch_size=8,  # no accumulation: step every tiny batch
+        autoanchor=False)  # keep dynamics deterministic; anchor propagation
+    # has its own test (test_parallel_train.test_autoanchor_reaches_training)
     out = train(tc, train_ds=train_ds, val_ds=None)
 
     # loss must have dropped substantially

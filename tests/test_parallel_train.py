@@ -45,6 +45,13 @@ def test_param_groups():
     for path, g in flat)
     head_bias = [k for k in pflat if k.endswith("/b")]
     assert head_bias and all(pflat[k] == GROUP_BIAS for k in head_bias)
+    # BN biases belong to the bias group too — the reference's
+    # hasattr(v,'bias') walk collects BatchNorm biases into pg2
+    # (reference train.py:117-118)
+    bn_bias = [k for k in pflat if k.endswith("bn/bias")]
+    assert bn_bias and all(pflat[k] == GROUP_BIAS for k in bn_bias)
+    bn_scale = [k for k in pflat if k.endswith("bn/scale")]
+    assert bn_scale and all(pflat[k] == 0 for k in bn_scale)  # pg0 no-decay
 
 
 def test_sharded_step_matches_single_device():
@@ -110,6 +117,39 @@ def test_grad_accumulation_step():
                            jnp.asarray(shp(mask)), lr_groups, mom)
     assert np.isfinite(float(metrics["total"]))
     assert int(ts2.step) == 1
+
+
+def test_grad_accumulation_sums_micro_grads():
+    """Reference semantics (train.py:372-384): micro-batch grads are SUMMED
+    into the optimizer step. Check: accumulate=2 over the same micro-batch
+    with a half-scaled loss == accumulate=1 with the full loss."""
+    img = 64
+    m = Model.from_yaml("yolo_series_tpu/models/cfg/training/yolov7-tiny.yaml")
+    base_loss = make_compute_loss(m.plan.head, LossHyp())
+    half_loss = lambda raw, lb, mk: (  # noqa: E731
+        lambda t, i: (t * 0.5, i))(*base_loss(raw, lb, mk))
+    cfg = OptimConfig()
+    rng = np.random.default_rng(3)
+    x, labels, mask = _tiny_batch(rng, 2, img)
+    lr_groups, mom = warmup_factors(jnp.float32(50), 10, jnp.float32(1.0),
+                                    300, cfg.lr0, 0.1, 0.1, 0.8, cfg.momentum)
+
+    ts_a = init_train_state(m.params, m.state, cfg)
+    fn_a = make_train_step(m.plan, base_loss, cfg, compute_dtype=jnp.float32)
+    ts_a, _ = fn_a(ts_a, jnp.asarray(x), jnp.asarray(labels),
+                   jnp.asarray(mask), lr_groups, mom)
+
+    ts_b = init_train_state(m.params, m.state, cfg)
+    fn_b = make_train_step(m.plan, half_loss, cfg, accumulate=2,
+                           compute_dtype=jnp.float32)
+    dup = lambda a: np.stack([a, a])  # noqa: E731
+    ts_b, _ = fn_b(ts_b, jnp.asarray(dup(x)), jnp.asarray(dup(labels)),
+                   jnp.asarray(dup(mask)), lr_groups, mom)
+
+    for a, b in zip(jax.tree_util.tree_leaves(ts_a.params),
+                    jax.tree_util.tree_leaves(ts_b.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-6)
 
 
 def test_overfit_tiny():

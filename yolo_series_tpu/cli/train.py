@@ -25,6 +25,9 @@ def make_parser():
                    help="resume from checkpoint (or newest run)")
     p.add_argument("--epochs", type=int, default=300)
     p.add_argument("--batch-size", type=int, default=16)
+    p.add_argument("--nbs", type=int, default=64,
+                   help="nominal batch: grad-accumulate batch->nbs "
+                   "(reference train.py:110-112)")
     p.add_argument("--img-size", type=int, default=640)
     p.add_argument("--rect", action="store_true")
     p.add_argument("--multi-scale", action="store_true",
@@ -64,6 +67,7 @@ def main():
     tc = TrainConfig(
         cfg=opt.cfg, data=opt.data, hyp=opt.hyp, epochs=opt.epochs,
         batch_size=opt.batch_size, img_size=opt.img_size,
+        nominal_batch_size=opt.nbs,
         weights=opt.weights, resume=resume, save_dir=str(save_dir),
         adam=opt.adam, linear_lr=opt.linear_lr, rect=opt.rect,
         label_smoothing=opt.label_smoothing, max_labels=opt.max_labels,

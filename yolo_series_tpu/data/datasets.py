@@ -482,8 +482,11 @@ class create_loader:
             try:
                 for idxs in batches:
                     q.put(self._make_batch(idxs))
-            finally:
                 q.put(stop)
+            except BaseException as e:  # noqa: BLE001 — surface in consumer
+                # a corrupt image/label must FAIL the epoch, not silently
+                # truncate it: hand the exception to the consumer loop
+                q.put(e)
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
@@ -491,4 +494,6 @@ class create_loader:
             item = q.get()
             if item is stop:
                 break
+            if isinstance(item, BaseException):
+                raise item
             yield item

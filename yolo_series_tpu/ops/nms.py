@@ -48,7 +48,7 @@ def _round_up(x: int, m: int) -> int:
 
 
 def nms_keep_mask_full(boxes: jnp.ndarray, iou_threshold: float,
-                       max_iters: int = 64) -> jnp.ndarray:
+                       max_iters: Optional[int] = None) -> jnp.ndarray:
     """Exact greedy NMS keep-mask via whole-matrix fixed-point iteration.
 
     One (K, K) IoU product + a short convergence loop (alive_{t+1}[p] =
@@ -58,6 +58,10 @@ def nms_keep_mask_full(boxes: jnp.ndarray, iou_threshold: float,
     better VPU utilization under vmap).
     """
     k = boxes.shape[0]
+    if max_iters is None:
+        # a suppression chain can be up to k deep; the while_loop exits
+        # early on convergence, so the bound costs nothing when shallow
+        max_iters = k
     iou = box_iou(boxes, boxes)
     rows = jax.lax.broadcasted_iota(jnp.int32, (k, k), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (k, k), 1)

@@ -40,10 +40,15 @@ GROUP_BIAS = 2     # biases
 def param_groups(params: Any) -> Any:
     """Static group-id pytree matching `params`.
 
-    Rules (matching the reference's module walk, train.py:157-176):
-      * leaf named 'b' or 'bias' -> bias group
-      * leaf named 'w' with ndim >= 2 -> decay group
-      * everything else (BN scale/bias, implicit 'v', 1-D) -> no-decay group
+    Rules (matching the reference's module walk, train.py:115-187):
+      * every leaf named 'b' or 'bias' -> bias group pg2 (the reference's
+        `hasattr(v, 'bias')` walk collects ALL module biases, including
+        BatchNorm's — they get the warmup_bias_lr ramp, train.py:117-118)
+      * leaf named 'w' with ndim >= 2 (conv/linear kernels) -> decay pg1
+      * everything else (BN scale, implicit knowledge, OREPA branch
+        weights/vector, attention logit_scale/rel_bias, 1-D) -> pg0
+        no-decay, matching the reference's explicit pg0 appends
+        (train.py:119-176)
     """
     flat = jax.tree_util.tree_flatten_with_path(params)[0]
     treedef = jax.tree_util.tree_structure(params)
@@ -55,14 +60,8 @@ def param_groups(params: Any) -> Any:
             if isinstance(k, str):
                 name = k
                 break
-        parent = ""
-        keys = [getattr(p, "key", None) for p in path if isinstance(getattr(p, "key", None), str)]
-        if len(keys) >= 2:
-            parent = keys[-2]
-        if name == "b" or name == "bias" and parent != "bn":
+        if name in ("b", "bias"):
             groups.append(GROUP_BIAS)
-        elif name == "bias":  # bn bias
-            groups.append(GROUP_NODECAY)
         elif name == "w" and leaf.ndim >= 2:
             groups.append(GROUP_DECAY)
         else:

@@ -99,9 +99,12 @@ def make_train_step(plan, loss_fn: Callable, opt_cfg: OptimConfig,
             (grads, new_state, total), items_seq = jax.lax.scan(
                 body, (zero_g, ts.state, jnp.float32(0.0)),
                 (images, labels, mask))
-            grads = jax.tree_util.tree_map(lambda g: g / accumulate, grads)
+            # reference semantics: per-micro-batch losses are loss*bs and
+            # .backward() SUMS their grads before the optimizer step
+            # (train.py:372-384) — the accumulated grad equals one
+            # nominal-batch grad. Only the logged loss is averaged.
             total = total / accumulate
-            items = jax.tree_util.tree_map(lambda x: x[-1], items_seq)
+            items = jax.tree_util.tree_map(lambda x: jnp.mean(x), items_seq)
         else:
             total, items, new_state, grads = loss_and_grad(
                 ts.params, ts.state, images, labels, mask)

@@ -140,6 +140,38 @@ def train(tc: TrainConfig, train_ds: Optional[DetectionDataset] = None,
             print("WARNING: weight tree mismatch; training from scratch")
 
     head = plan.head
+
+    # -- dataset + autoanchor BEFORE the loss/step functions are built, so
+    # recomputed anchors actually reach the jitted train step (the reference
+    # runs check_anchors before training starts, train.py:278) --
+    if train_ds is None:
+        is_human = data_cfg.get("dataset") == "human"
+        train_ds = DetectionDataset(
+            data_cfg["train"], img_size=tc.img_size, batch_size=tc.batch_size,
+            augment=True, hyp=hyp, rect=tc.rect, stride=int(max(head.strides)),
+            kind="human" if is_human else "coco",
+            odgt_paths=[p for p in
+                        [data_cfg.get("crowd_human_train_label_file")] if p],
+            xml_dir=data_cfg.get("safety_helmet_dataset_label_dir"),
+            cut_max_len=int(data_cfg.get("cut_max_len", -1)))
+    anchors_override = None
+    if tc.autoanchor and not tc.resume:
+        try:
+            from yolo_series_tpu.utils.autoanchor import check_anchors
+            apx = head.anchors_grid()
+            bpr, new_anchors = check_anchors(
+                train_ds.labels, train_ds.shapes, apx, head.strides,
+                thr=hyp["anchor_t"], imgsz=tc.img_size)
+            if new_anchors is not None:
+                nl_, na_ = apx.shape[0], apx.shape[1]
+                anchors_override = (
+                    new_anchors.reshape(nl_, na_ * 2).round(2).tolist())
+                plan = compile_graph(tc.cfg, nc=nc, anchors=anchors_override)
+                head = plan.head
+                print("autoanchor: anchors updated")
+        except Exception as e:  # noqa: BLE001
+            print(f"autoanchor skipped: {e}")
+
     nl = len(head.strides)
     loss_hyp = _scaled_loss_hyp(hyp, nl, nc, tc.img_size, tc.label_smoothing)
     is_aux = isinstance(head, IAuxDetect)
@@ -150,12 +182,17 @@ def train(tc: TrainConfig, train_ds: Optional[DetectionDataset] = None,
     else:
         loss_fn = make_compute_loss(head, loss_hyp)
 
+    # grad accumulation to the nominal batch (reference train.py:110-112):
+    # `accumulate` micro-batches feed one optimizer step via in-graph
+    # lax.scan; weight decay is scaled by the effective batch. Documented
+    # deviation: the reference also ramps accumulate 1 -> nbs/bs during
+    # warmup (train.py:352-353); here it is fixed so each optimizer step
+    # stays one compiled program.
+    accumulate = max(round(tc.nominal_batch_size / tc.batch_size), 1)
     opt_cfg = OptimConfig(kind="adam" if tc.adam else "sgd", lr0=hyp["lr0"],
                           momentum=hyp["momentum"],
-                          weight_decay=hyp["weight_decay"]
-                          * tc.batch_size * max(round(
-                              tc.nominal_batch_size / tc.batch_size), 1)
-                          / tc.nominal_batch_size)
+                          weight_decay=hyp["weight_decay"] * tc.batch_size
+                          * accumulate / tc.nominal_batch_size)
 
     n_dev = tc.n_data_devices or 1
     mesh = make_mesh(n_data=n_dev) if n_dev > 1 else None
@@ -179,46 +216,15 @@ def train(tc: TrainConfig, train_ds: Optional[DetectionDataset] = None,
         sizes = sorted({int(round(tc.img_size * s / gs)) * gs
                         for s in (0.75, 1.0, 1.25)})
         step_fns = {sz: make_train_step(
-            plan, loss_fn, opt_cfg, mesh=mesh,
+            plan, loss_fn, opt_cfg, mesh=mesh, accumulate=accumulate,
             compute_dtype=tc.compute_dtype, freeze=tc.freeze,
             resize_to=sz) for sz in sizes}
         size_rng = np.random.default_rng(tc.seed + 777)
     else:
         step_fn = make_train_step(plan, loss_fn, opt_cfg, mesh=mesh,
+                                  accumulate=accumulate,
                                   compute_dtype=tc.compute_dtype,
                                   freeze=tc.freeze)
-
-    if train_ds is None:
-        is_human = data_cfg.get("dataset") == "human"
-        train_ds = DetectionDataset(
-            data_cfg["train"], img_size=tc.img_size, batch_size=tc.batch_size,
-            augment=True, hyp=hyp, rect=tc.rect, stride=int(max(head.strides)),
-            kind="human" if is_human else "coco",
-            odgt_paths=[p for p in
-                        [data_cfg.get("crowd_human_train_label_file")] if p],
-            xml_dir=data_cfg.get("safety_helmet_dataset_label_dir"),
-            cut_max_len=int(data_cfg.get("cut_max_len", -1)))
-    if tc.autoanchor and not tc.resume:
-        try:
-            from yolo_series_tpu.utils.autoanchor import check_anchors
-            apx = head.anchors_grid()
-            bpr, new_anchors = check_anchors(
-                train_ds.labels, train_ds.shapes, apx, head.strides,
-                thr=hyp["anchor_t"], imgsz=tc.img_size)
-            if new_anchors is not None:
-                nl_, na_ = apx.shape[0], apx.shape[1]
-                anc_list = new_anchors.reshape(nl_, na_ * 2).round(2).tolist()
-                plan = compile_graph(tc.cfg, nc=nc, anchors=anc_list)
-                head = plan.head
-                if is_aux:
-                    loss_fn = make_compute_loss_aux_ota(head, loss_hyp, tc.img_size)
-                elif hyp.get("loss_ota", 1):
-                    loss_fn = make_compute_loss_ota(head, loss_hyp, tc.img_size)
-                else:
-                    loss_fn = make_compute_loss(head, loss_hyp)
-                print("autoanchor: anchors updated")
-        except Exception as e:  # noqa: BLE001
-            print(f"autoanchor skipped: {e}")
 
     loader = create_loader(train_ds, batch_size=tc.batch_size,
                            max_labels=tc.max_labels, seed=tc.seed,
@@ -236,23 +242,39 @@ def train(tc: TrainConfig, train_ds: Optional[DetectionDataset] = None,
     cfg_dict = yaml.safe_load(open(tc.cfg)) if isinstance(tc.cfg, str) else dict(tc.cfg)
     cfg_dict = {**cfg_dict, "nc": nc, "names": list(names)}  # checkpoint must
     # rebuild the plan exactly as trained (nc/names come from the data yaml)
+    if anchors_override is not None:
+        cfg_dict["anchors"] = anchors_override
     step = int(ts.step)
+    ni = step * accumulate  # integrated-batch counter (reference `ni`)
+    micro = []  # pending micro-batches; persists across epoch boundaries,
+    # like the reference's global ni % accumulate cadence (train.py:384)
     for epoch in range(start_epoch, tc.epochs):
         t0 = time.time()
         mloss = None
         for batch in loader:
+            micro.append(batch)
+            ni += 1
+            if len(micro) < accumulate:
+                continue
             epoch_frac = jnp.float32(epoch + 0.0)
             lr_groups, mom = warmup_factors(
-                jnp.float32(step), warmup_steps, epoch_frac, tc.epochs,
+                jnp.float32(ni - 1), warmup_steps, epoch_frac, tc.epochs,
                 hyp["lr0"], hyp["lrf"], hyp["warmup_bias_lr"],
                 hyp["warmup_momentum"], hyp["momentum"],
                 cosine=not tc.linear_lr)
             fn = (step_fns[sizes[size_rng.integers(len(sizes))]]
                   if tc.multi_scale else step_fn)
+            if accumulate > 1:
+                ims = np.stack([b["images"] for b in micro])
+                lbs = np.stack([b["labels"] for b in micro])
+                mks = np.stack([b["label_mask"] for b in micro])
+            else:
+                ims = micro[0]["images"]
+                lbs, mks = micro[0]["labels"], micro[0]["label_mask"]
+            micro = []
             ts, metrics = fn(
-                ts, jnp.asarray(batch["images"], jnp.float32) / 255.0,
-                jnp.asarray(batch["labels"]), jnp.asarray(batch["label_mask"]),
-                lr_groups, mom)
+                ts, jnp.asarray(ims, jnp.float32) / 255.0,
+                jnp.asarray(lbs), jnp.asarray(mks), lr_groups, mom)
             step += 1
             m = {k: float(v) for k, v in metrics.items()}
             mloss = m if mloss is None else {
