@@ -124,6 +124,10 @@ class WindowAttention(Block):
         }
         ws = self.window_size
         if self.v2:
+            # v2 keeps qkv weight bias-free and adds zero-init q/v biases
+            # (k bias implicitly zero, common.py:1712-1717); our flat
+            # 3*dim bias starts at zero accordingly.
+            p["qkv"]["b"] = jnp.zeros((self.dim * 3,), jnp.float32)
             p["logit_scale"] = jnp.full((self.num_heads, 1, 1),
                                         math.log(10.0), jnp.float32)
             p["cpb1"] = _linear_init(k3, 2, 512, bias=True)
@@ -220,7 +224,10 @@ class SwinTransformerLayer(Block):
         if pad_b or pad_r:
             x = jnp.pad(x, ((0, 0), (0, pad_b), (0, pad_r), (0, 0)))
         h, w = x.shape[1:3]
-        shift = self.shift_size if min(h, w) > ws else 0
+        # shift is unconditional when shift_size > 0: the reference's
+        # min-resolution guard is commented out (common.py:1484-1487), so
+        # even a single padded window gets rolled + masked.
+        shift = self.shift_size
 
         shortcut = x
         xs = x if self.v2 else _layer_norm(params["norm1"], x)
@@ -286,8 +293,11 @@ class SwinTransformerBlock(Composite):
 def _stcsp(base, v2):
     class _ST(base):
         def inner(self, c_):
+            # v1 SwinTransformerBlock defaults window_size=8, v2
+            # SwinTransformer2Block defaults 7 (common.py:1585, :1947);
+            # heads = c_//32 (guarded >=1 where the reference would crash)
             return [SwinTransformerBlock(c_, c_, max(c_ // 32, 1), self.n,
-                                         v2=v2)]
+                                         window_size=7 if v2 else 8, v2=v2)]
 
         def children(self):
             kids = super().children()
@@ -348,16 +358,27 @@ class TransformerBlock(Composite):
 
     def init(self, key):
         params, state = Composite.init(self, key)
-        keys = jax.random.split(jax.random.fold_in(key, 1), self.num_layers * 5 + 1)
-        params["pos"] = _linear_init(keys[0], self.c2, self.c2)
+        keys = jax.random.split(jax.random.fold_in(key, 1), self.num_layers * 7 + 1)
+        c = self.c2
+        params["pos"] = _linear_init(keys[0], c, c)
         for i in range(self.num_layers):
-            base = keys[1 + i * 5:1 + (i + 1) * 5]
+            base = keys[1 + i * 7:1 + (i + 1) * 7]
+            # nn.MultiheadAttention: xavier-uniform in_proj, zero biases
+            xav = math.sqrt(6.0 / (4 * c))
             params[f"tr{i}"] = {
-                "q": _linear_init(base[0], self.c2, self.c2, bias=False),
-                "k": _linear_init(base[1], self.c2, self.c2, bias=False),
-                "v": _linear_init(base[2], self.c2, self.c2, bias=False),
-                "fc1": _linear_init(base[3], self.c2, self.c2, bias=False),
-                "fc2": _linear_init(base[4], self.c2, self.c2, bias=False),
+                "q": _linear_init(base[0], c, c, bias=False),
+                "k": _linear_init(base[1], c, c, bias=False),
+                "v": _linear_init(base[2], c, c, bias=False),
+                # the reference layer ALSO runs nn.MultiheadAttention, whose
+                # packed in_proj (3c,c)+bias and out_proj apply on top of
+                # q/k/v above (common.py:752-758)
+                "in_proj": {"w": jax.random.uniform(
+                    base[5], (c, 3 * c), jnp.float32, -xav, xav),
+                    "b": jnp.zeros((3 * c,), jnp.float32)},
+                "out_proj": {"w": _linear_init(base[6], c, c)["w"],
+                             "b": jnp.zeros((c,), jnp.float32)},
+                "fc1": _linear_init(base[3], c, c, bias=False),
+                "fc2": _linear_init(base[4], c, c, bias=False),
             }
         return params, state
 
@@ -370,16 +391,26 @@ class TransformerBlock(Composite):
         p = p + _linear(params["pos"], p)
         nh = self.num_heads
         hd = c // nh
+
+        def heads(t):
+            return t.reshape(b, -1, nh, hd).transpose(0, 2, 1, 3)
+
         for i in range(self.num_layers):
             tp = params[f"tr{i}"]
-            q = _linear(tp["q"], p).reshape(b, -1, nh, hd).transpose(0, 2, 1, 3)
-            k = _linear(tp["k"], p).reshape(b, -1, nh, hd).transpose(0, 2, 1, 3)
-            v = _linear(tp["v"], p).reshape(b, -1, nh, hd).transpose(0, 2, 1, 3)
+            qi = _linear(tp["q"], p)
+            ki = _linear(tp["k"], p)
+            vi = _linear(tp["v"], p)
+            wq, wk, wv = jnp.split(tp["in_proj"]["w"], 3, axis=1)
+            bq, bk, bv = jnp.split(tp["in_proj"]["b"], 3)
+            q = heads(_linear({"w": wq, "b": bq}, qi))
+            k = heads(_linear({"w": wk, "b": bk}, ki))
+            v = heads(_linear({"w": wv, "b": bv}, vi))
             attn = jax.nn.softmax(
                 jnp.einsum("bhnd,bhmd->bhnm", q.astype(jnp.float32),
                            k.astype(jnp.float32)) / math.sqrt(hd), -1)
             y = jnp.einsum("bhnm,bhmd->bhnd", attn.astype(x.dtype), v)
             y = y.transpose(0, 2, 1, 3).reshape(b, -1, c)
+            y = _linear(tp["out_proj"], y)
             p = y + p
             p = _linear(tp["fc2"], _linear(tp["fc1"], p)) + p
         return p.reshape(b, h, w, c), ns

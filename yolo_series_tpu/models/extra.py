@@ -145,10 +145,12 @@ class CrossConv(Composite):
         return float(self.s)
 
     def children(self):
+        # stride is factored with the kernel: (1,k)@(1,s) then (k,1)@(s,1)
+        # (experimental.py:15-16)
         c_ = int(self.c2 * self.e)
         return {
-            "cv1": ConvBnAct(self.c1, c_, (1, self.k), 1),
-            "cv2": ConvBnAct(c_, self.c2, (self.k, 1), self.s, None, self.g),
+            "cv1": ConvBnAct(self.c1, c_, (1, self.k), (1, self.s)),
+            "cv2": ConvBnAct(c_, self.c2, (self.k, 1), (self.s, 1), None, self.g),
         }
 
     def apply(self, params, state, x, ctx):
@@ -311,28 +313,41 @@ class OREPA3x3(Block):
         keys = jax.random.split(key, 6)
         cig = self.c1 // self.g
         k = self.k
+        # `vector` matches the reference row count, INCLUDING the phantom
+        # identity row: reference common.py:1146-1147 bumps branch_counter
+        # when c1==c2 and s==1 and allocates a vector row for it, but
+        # weight_gen (common.py:1180-1209) never reads it. Row 5 is dead
+        # weight kept for param-structure parity (init 0; ref leaves it
+        # uninitialized memory).
         n_branch = 5 + (1 if self.has_identity else 0)
+        vec = [0.25, 0.25, 0.0, 0.5, 0.5] + [0.0] * (n_branch - 5)
+        # kxk_1x1 holds the EFFECTIVE internal matrix: reference stores a
+        # zero-init deviation plus a fixed identity buffer
+        # (idconv1 + id_tensor, common.py:1122-1129); the sum is what
+        # weight_gen consumes, so we parameterize the sum directly and
+        # identity-initialize it.
+        eye = np.zeros((1, 1, cig, self.c1), np.float32)
+        for t in range(self.c1):
+            eye[0, 0, t % cig, t] = 1.0
         params = {
             "origin": conv_kernel_init(keys[0], k, k, cig, self.c2),
             "avg_conv": conv_kernel_init(keys[1], 1, 1, cig, self.c2),
             "pfir_conv": conv_kernel_init(keys[2], 1, 1, cig, self.c2),
-            "kxk_1x1": conv_kernel_init(keys[3], 1, 1, cig, self.c1),
+            "kxk_1x1": jnp.asarray(eye),
             "kxk_kxk": conv_kernel_init(keys[4], k, k, self.c1 // self.g, self.c2),
             "dw": conv_kernel_init(keys[5], k, k, 1, self.c1 * self.expand),
             "pw": conv_kernel_init(jax.random.fold_in(key, 9), 1, 1,
                                    self.c1 * self.expand, self.c2),
-            "vector": jnp.stack(
-                [jnp.full((self.c2,), v) for v in
-                 ([0.25, 0.25, 0.0, 0.5, 0.5] + ([0.5] if self.has_identity else []))]),
+            "vector": jnp.stack([jnp.full((self.c2,), v) for v in vec]),
         }
         bnp, bns = bn_init(self.c2)
         params["bn"] = bnp
         return params, {"bn": bns}
 
     def weight_gen(self, params):
-        """Compose the effective HWIO kernel."""
+        """Compose the effective HWIO kernel (5 live branches,
+        common.py:1180-1209; the identity vector row is never used)."""
         k = self.k
-        cig = self.c1 // self.g
         v = params["vector"]
         w = params["origin"] * v[0]
         avg = jnp.full((k, k, 1, 1), 1.0 / (k * k))
@@ -348,11 +363,6 @@ class OREPA3x3(Block):
         w_dws = jnp.einsum("hwce,ceo->hwco", dw,
                            dw_pw_reshape(params["pw"], self.c1, self.expand))
         w = w + w_dws * v[4]
-        if self.has_identity:
-            ident = np.zeros((k, k, cig, self.c2), np.float32)
-            for o in range(self.c2):
-                ident[k // 2, k // 2, o % cig, o] = 1.0
-            w = w + jnp.asarray(ident) * v[5]
         return w
 
     def apply(self, params, state, x, ctx):

@@ -116,8 +116,10 @@ _BLOCK_CLASSES = {
 }
 
 
-def _swin2block(c1, c2, *args):
-    return ATT.SwinTransformerBlock(c1, c2, *args, v2=True)
+def _swin2block(c1, c2, num_heads, num_layers, window_size=7):
+    # v2 default window_size is 7, not v1's 8 (common.py:1947)
+    return ATT.SwinTransformerBlock(c1, c2, num_heads, num_layers,
+                                    window_size=window_size, v2=True)
 
 
 _BLOCK_CLASSES["swintransformer2block"] = _swin2block

@@ -174,7 +174,7 @@ def conv2d(x, w, stride=1, padding=0, groups=1, dtype=None):
         pad = padding
     dn = jax.lax.conv_dimension_numbers(x.shape, w.shape, ("NHWC", "HWIO", "NHWC"))
     return jax.lax.conv_general_dilated(
-        x, w, window_strides=(stride, stride), padding=pad,
+        x, w, window_strides=_pair(stride), padding=pad,
         dimension_numbers=dn, feature_group_count=groups,
         preferred_element_type=x.dtype,
     )
@@ -267,7 +267,7 @@ class ConvBnAct(Block):
     c1: int
     c2: int
     k: Any = 1
-    s: int = 1
+    s: Any = 1  # int or (sh, sw), e.g. CrossConv's (1,s)/(s,1) factorization
     p: Optional[int] = None
     g: int = 1
     act: Any = True
@@ -278,7 +278,7 @@ class ConvBnAct(Block):
 
     @property
     def stride_factor(self):
-        return float(self.s)
+        return float(self.s if isinstance(self.s, int) else max(self.s))
 
     def init(self, key):
         kh, kw = _pair(self.k)
