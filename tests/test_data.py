@@ -237,3 +237,34 @@ def test_native_loader_matches_python(coco_tree):
     py, r, (dw, dh) = letterbox(img0, 320, auto=False, scaleup=False)
     np.testing.assert_array_equal(out[0], py[:, :, ::-1])
     np.testing.assert_allclose(metas[0][:3], [r[0], dw, dh], atol=1e-5)
+
+
+def test_dataset_tools(coco_tree):
+    """flatten_recursive / extract_boxes / autosplit (datasets.py:1536-1613)."""
+    from yolo_series_tpu.data.tools import (
+        autosplit, extract_boxes, flatten_recursive)
+
+    root, files = coco_tree
+
+    flat = flatten_recursive(root / "images")
+    n_imgs = len(list((root / "images").glob("*.jpg")))
+    assert len(list(flat.glob("*"))) == n_imgs
+
+    out = extract_boxes(root)
+    crops = list(out.rglob("*.jpg"))
+    n_labels = sum(len((root / "labels" / f"img{i}.txt").read_text()
+                       .strip().splitlines()) for i in range(8))
+    assert len(crops) == n_labels
+    # one directory per class seen
+    classes = {p.parent.name for p in crops}
+    assert classes <= {"0", "1", "2"}
+
+    lists = autosplit(root / "images", weights=(0.5, 0.5, 0.0), seed=0)
+    lines = [p.read_text().strip().splitlines() if p.exists() else []
+             for p in lists]
+    assert sum(len(l) for l in lines) == n_imgs
+    assert len(lines[0]) > 0 and len(lines[1]) > 0
+    # annotated_only keeps only images with label files
+    lists2 = autosplit(root / "images", weights=(1.0, 0.0, 0.0),
+                       annotated_only=True, seed=0)
+    assert len(lists2[0].read_text().strip().splitlines()) == n_imgs

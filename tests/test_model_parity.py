@@ -19,6 +19,13 @@ CFGS = {
     "training/yolov7": "cfg/training/yolov7.yaml",
     # P6 path: ReOrg stem, DownC, IAuxDetect (lead-only decode at eval)
     "training/yolov7-w6": "cfg/training/yolov7-w6.yaml",
+    # baseline family (VERDICT r1 item 3): Bottleneck/CSPB/CSPC + plain
+    # Detect (yolov4-csp) and IDetect (yolor-csp) paths
+    "baseline/yolor-csp": "cfg/baseline/yolor-csp.yaml",
+    "baseline/yolov4-csp": "cfg/baseline/yolov4-csp.yaml",
+    # ResNet/ResNeXt bottleneck family
+    "baseline/r50-csp": "cfg/baseline/r50-csp.yaml",
+    "baseline/x50-csp": "cfg/baseline/x50-csp.yaml",
 }
 
 

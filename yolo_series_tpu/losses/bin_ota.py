@@ -30,7 +30,10 @@ def make_compute_loss_bin_ota(head, hyp: LossHyp, img_size: int,
     balance = balance_for(nl)
     anchors = np.asarray(head.anchors, np.float32).reshape(nl, head.na, 2)
     strides = np.asarray(head.strides, np.float32)
-    sb = SigmoidBin(head.bin_count, 0.0, 4.0)
+    # BCE-over-bins only: the driver disables the MSE residual term
+    # (loss.py:876: use_loss_regression=False); the residual still shapes
+    # the DECODED w/h feeding the CIoU term
+    sb = SigmoidBin(head.bin_count, 0.0, 4.0, use_loss_regression=False)
     bl = sb.length
     obj_idx = 2 * bl + 2
     nc = head.nc

@@ -106,11 +106,15 @@ def _assign_single(raw_img: Sequence[jnp.ndarray], labels, label_mask,
     row = jax.lax.broadcasted_iota(jnp.int32, (m, topk_eff), 0)
     matching = matching.at[row, top_idx].set(rank_ok)
 
+    # contested columns are REASSIGNED to the global argmin-cost gt, which
+    # may be a gt that never claimed the column (loss.py:752-755 zeroes the
+    # whole column then writes cost_argmin unconditionally) — so do not AND
+    # with the original claims
     claims = jnp.sum(matching, 0)
     best_gt = jnp.argmin(cost, 0)
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (m, c_total), 0)
     exclusive = row_ids == best_gt[None, :]
-    matching = jnp.where(claims[None, :] > 1, matching & exclusive, matching)
+    matching = jnp.where(claims[None, :] > 1, exclusive, matching)
 
     fg = jnp.any(matching, 0) & v_all
     matched_gt = jnp.argmax(matching, 0)
