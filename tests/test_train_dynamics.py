@@ -1,0 +1,330 @@
+"""Training-dynamics parity: N optimizer steps of the reference torch loop
+vs this framework's jitted train step, from identical imported init on
+identical data (VERDICT r1 item 5).
+
+The torch side reproduces the reference driver verbatim: 3-group SGD
+nesterov (train.py:115-187), per-step warmup interpolation of lr/momentum
+(train.py:349-357), one-cycle schedule factor (train.py:192-196),
+ModelEMA with warm decay ramp (torch_utils.py:269-303), train-mode BN.
+Point-goldens on the loss cannot catch composition errors in these; a
+step-for-step trajectory match is the strongest proxy for "training will
+reach reference mAP" available without network egress.
+
+The loss is the deterministic ComputeLoss (anchor-ratio assignment from
+targets only). SimOTA's assignment depends discretely on the predictions,
+so ~1e-6 cross-framework forward noise flips marginal matches and makes
+any exact trajectory comparison chaotic (verified: loss-gradients wrt
+identical raw maps agree to 1e-9; the OTA loss itself is golden-tested
+7/7 seeds in test_losses.py). The optimizer/warmup/EMA semantics under
+test here are loss-agnostic.
+"""
+
+import numpy as np
+import pytest
+
+from tests.ref_oracle import has_reference, load_reference
+from tests.test_losses import HYP, _random_case, _to_padded
+
+pytestmark = pytest.mark.skipif(not has_reference(), reason="reference repo unavailable")
+
+N_STEPS = 20
+WARMUP = 10
+IMG = 128
+BS = 2
+LR0 = 0.01
+LRF = 0.1
+MOMENTUM = 0.937
+WD = 0.0005
+WARM_BIAS_LR = 0.1
+WARM_MOM = 0.8
+EPOCHS = 300
+
+
+def _torch_groups(model):
+    """Verbatim 3-group split (train.py:115-187)."""
+    import torch.nn as nn
+
+    pg0, pg1, pg2 = [], [], []
+    for k, v in model.named_modules():
+        if hasattr(v, "bias") and isinstance(v.bias, nn.Parameter):
+            pg2.append(v.bias)
+        if isinstance(v, nn.BatchNorm2d):
+            pg0.append(v.weight)
+        elif hasattr(v, "weight") and isinstance(v.weight, nn.Parameter):
+            pg1.append(v.weight)
+        for attr in ("im", "ia"):
+            if hasattr(v, attr):
+                vv = getattr(v, attr)
+                if hasattr(vv, "implicit"):
+                    pg0.append(vv.implicit)
+                else:
+                    for iv in vv:
+                        pg0.append(iv.implicit)
+    return pg0, pg1, pg2
+
+
+def test_20_step_trajectory_matches_reference():
+    import torch
+
+    import jax
+    import jax.numpy as jnp
+    from yolo_series_tpu.losses import LossHyp, make_compute_loss
+    from yolo_series_tpu.models.graph import compile_graph
+    from yolo_series_tpu.models.torch_import import import_state_dict
+    from yolo_series_tpu.train.optim import OptimConfig
+    from yolo_series_tpu.train.schedules import warmup_factors
+    from yolo_series_tpu.train.step import init_train_state, make_train_step
+
+    ref = load_reference()
+    import sys
+    sys.path.insert(0, "/root/reference")
+    from utils.loss import ComputeLoss as RefLoss
+    from utils.torch_utils import ModelEMA
+
+    torch.manual_seed(7)
+    model = ref["Model"]("/root/reference/cfg/training/yolov7-tiny.yaml",
+                         ch=3, nc=80).float()
+    model.hyp = dict(HYP)
+    model.gr = 1.0
+    model.train()
+    ref_loss = RefLoss(model)
+
+    pg0, pg1, pg2 = _torch_groups(model)
+    opt = torch.optim.SGD(pg0, lr=LR0, momentum=MOMENTUM, nesterov=True)
+    opt.add_param_group({"params": pg1, "weight_decay": WD})
+    opt.add_param_group({"params": pg2})
+    for g in opt.param_groups:
+        g["initial_lr"] = LR0
+    n_params = sum(p.numel() for p in model.parameters())
+    assert sum(p.numel() for pg in (pg0, pg1, pg2) for p in pg) == n_params
+
+    ema = ModelEMA(model)
+
+    # one-cycle factor at epoch 0 (train.py:192-196); the whole run stays
+    # inside epoch 0 so lf = 1.0 throughout
+    lf0 = 1.0
+
+    # fixed data: N_STEPS distinct batches, images in [0,1]
+    rng = np.random.default_rng(11)
+    batches = []
+    for s in range(N_STEPS):
+        imgs = rng.uniform(0, 1, (BS, 3, IMG, IMG)).astype(np.float32)
+        _, targets = _random_case(s, img=IMG)
+        batches.append((imgs, targets))
+
+    # --- my side: same init via the weight importer
+    plan = compile_graph("yolo_series_tpu/models/cfg/training/yolov7-tiny.yaml")
+    sd0 = {k: v.detach().float().numpy() for k, v in model.state_dict().items()}
+    params, state = import_state_dict(plan, sd0)
+
+    # the 3-group partition matches the reference walk element-for-element
+    from yolo_series_tpu.train.optim import (
+        GROUP_BIAS, GROUP_DECAY, GROUP_NODECAY, param_groups)
+    gids = param_groups(params)
+    counts = {0: 0, 1: 0, 2: 0}
+    for leaf, gid in zip(jax.tree_util.tree_leaves(params),
+                         jax.tree_util.tree_leaves(gids)):
+        counts[gid] += int(np.prod(leaf.shape))
+    want_counts = {GROUP_NODECAY: sum(p.numel() for p in pg0),
+                   GROUP_DECAY: sum(p.numel() for p in pg1),
+                   GROUP_BIAS: sum(p.numel() for p in pg2)}
+    assert counts == want_counts, (counts, want_counts)
+
+    loss_fn = make_compute_loss(plan.head, LossHyp())
+    opt_cfg = OptimConfig(lr0=LR0, momentum=MOMENTUM, weight_decay=WD)
+    ts = init_train_state(params, state, opt_cfg)
+    step_fn = make_train_step(plan, loss_fn, opt_cfg,
+                              compute_dtype=jnp.float32)
+
+    my_losses, ref_losses = [], []
+    for s, (imgs, targets) in enumerate(batches):
+        ni = s
+        # reference warmup (train.py:349-357)
+        if ni <= WARMUP:
+            for j, g in enumerate(opt.param_groups):
+                g["lr"] = float(np.interp(
+                    ni, [0, WARMUP],
+                    [WARM_BIAS_LR if j == 2 else 0.0, g["initial_lr"] * lf0]))
+                if "momentum" in g:
+                    g["momentum"] = float(np.interp(
+                        ni, [0, WARMUP], [WARM_MOM, MOMENTUM]))
+
+        timgs = torch.from_numpy(imgs)
+        loss, _ = ref_loss(model(timgs), torch.from_numpy(targets))
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+        ema.update(model)
+        ref_losses.append(float(loss))
+
+        lr_groups, mom = warmup_factors(
+            jnp.float32(ni), WARMUP, jnp.float32(0.0), EPOCHS, LR0, LRF,
+            WARM_BIAS_LR, WARM_MOM, MOMENTUM)
+        labels, mask = _to_padded(targets, BS)
+        ts, metrics = step_fn(ts, jnp.asarray(imgs.transpose(0, 2, 3, 1)),
+                              jnp.asarray(labels), jnp.asarray(mask),
+                              lr_groups, mom)
+        my_losses.append(float(metrics["total"]))
+
+    my_losses = np.asarray(my_losses)
+    ref_losses = np.asarray(ref_losses)
+    # fp32 forward divergence between frameworks is ~1e-4 on raw maps (the
+    # model-parity tolerance); BN batch-stat feedback compounds it ~2x/step,
+    # so exact trajectory match is impossible — but semantic errors (wrong
+    # group lr, missing decay, momentum off) blow up orders faster. First
+    # steps are tight; the envelope widens geometrically with step index.
+    env = 2e-4 * np.power(1.8, np.arange(N_STEPS))
+    gap = np.abs(my_losses - ref_losses) / np.abs(ref_losses)
+    assert np.all(gap < np.maximum(env, 1e-4) + 0.06), (
+        f"trajectory gap {gap.round(4).tolist()}")
+    # the trajectories track the same curve: strong per-step correlation
+    # (loss variance across these batches is small, so r is noise-limited;
+    # semantic errors drive it negative or near zero)
+    c = np.corrcoef(my_losses, ref_losses)[0, 1]
+    assert c > 0.95, f"trajectory decorrelated: r={c:.3f}"
+
+    # final weights: per-GROUP movement magnitudes match. Per-step grads are
+    # batch-noise dominated, so after the chaotic horizon (~10 steps) the
+    # movement DIRECTIONS decorrelate between frameworks — but the amount
+    # each group moves is set by its lr/decay/momentum trajectory, which is
+    # exactly what this test verifies (a wrong group lr shifts these norms
+    # by integer factors).
+    sd_end = {k: v.detach().float().numpy() for k, v in model.state_dict().items()}
+    want_p, _ = import_state_dict(plan, sd_end)
+    got_p = jax.device_get(ts.params)
+
+    def group_norms(tree):
+        acc = {0: 0.0, 1: 0.0, 2: 0.0}
+        for (leaf, leaf0), gid in zip(
+                zip(jax.tree_util.tree_leaves(tree),
+                    jax.tree_util.tree_leaves(params)),
+                jax.tree_util.tree_leaves(gids)):
+            acc[gid] += float(np.sum(np.square(
+                np.asarray(leaf) - np.asarray(leaf0))))
+        return {g: np.sqrt(v) for g, v in acc.items()}
+
+    mine_n = group_norms(got_p)
+    ref_n = group_norms(want_p)
+    for g in (GROUP_NODECAY, GROUP_DECAY, GROUP_BIAS):
+        r = mine_n[g] / (ref_n[g] + 1e-12)
+        assert 0.8 < r < 1.25, (
+            f"group {g} movement ratio {r:.3f} (mine {mine_n[g]:.4f} "
+            f"vs ref {ref_n[g]:.4f})")
+
+    # EMA moved the same per-group amounts (torch_utils.py:269-303)
+    sd_ema = {k: v.detach().float().numpy()
+              for k, v in ema.ema.state_dict().items()}
+    want_ep, _ = import_state_dict(plan, sd_ema)
+    emine_n = group_norms(jax.device_get(ts.ema_params))
+    eref_n = group_norms(want_ep)
+    for g in (GROUP_NODECAY, GROUP_DECAY, GROUP_BIAS):
+        r = emine_n[g] / (eref_n[g] + 1e-12)
+        assert 0.8 < r < 1.25, f"EMA group {g} movement ratio {r:.3f}"
+
+
+def test_optimizer_warmup_ema_semantics_exact():
+    """Near-bitwise verification of the optimizer composition vs torch on a
+    BN-free model, where cross-framework fp noise stays ~1e-7: 50 steps of
+    3-group nesterov SGD (train.py:115-187) + warmup interp (:349-357) +
+    one-cycle factor across epochs (:192-196) + ModelEMA ramp
+    (torch_utils.py:269-303). The model-level trajectory test above can
+    only bound semantics loosely (BN feedback chaos); this one is exact.
+    """
+    import torch
+
+    import jax
+    import jax.numpy as jnp
+    from yolo_series_tpu.train.ema import ema_update
+    from yolo_series_tpu.train.optim import OptimConfig, make_optimizer
+    from yolo_series_tpu.train.schedules import one_cycle_lr, warmup_factors
+
+    torch.manual_seed(3)
+    conv = torch.nn.Conv2d(4, 8, 3, padding=1)  # weight->pg1, bias->pg2
+    gain = torch.nn.Parameter(torch.randn(8))   # 1-D -> pg0
+
+    def t_forward(x):
+        return (conv(x) * gain.reshape(1, -1, 1, 1)).square().mean()
+
+    opt = torch.optim.SGD([gain], lr=LR0, momentum=MOMENTUM, nesterov=True)
+    opt.add_param_group({"params": [conv.weight], "weight_decay": WD})
+    opt.add_param_group({"params": [conv.bias]})
+    for g in opt.param_groups:
+        g["initial_lr"] = LR0
+
+    # jax twin with the same leaves (np.array copies: .numpy() views share
+    # memory with the live torch tensors and jnp.asarray may zero-copy)
+    params = {"w": jnp.asarray(np.array(conv.weight.detach().numpy()
+                                        .transpose(2, 3, 1, 0))),
+              "b": jnp.asarray(np.array(conv.bias.detach().numpy())),
+              "gain": jnp.asarray(np.array(gain.detach().numpy()))}
+
+    def j_forward(p, x):
+        y = jax.lax.conv_general_dilated(
+            x, p["w"], (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=jax.lax.conv_dimension_numbers(
+                x.shape, p["w"].shape, ("NHWC", "HWIO", "NHWC")))
+        y = y + p["b"]
+        return jnp.mean(jnp.square(y * p["gain"]))
+
+    cfg = OptimConfig(lr0=LR0, momentum=MOMENTUM, weight_decay=WD)
+    opt_init, opt_update = make_optimizer(cfg, params)
+    opt_state = opt_init(params)
+    ema_p = jax.tree_util.tree_map(jnp.copy, params)
+
+    import copy
+    t_ema = {k: v.detach().clone() for k, v in
+             [("w", conv.weight), ("b", conv.bias), ("gain", gain)]}
+    ema_updates = 0
+
+    rng = np.random.default_rng(5)
+    epochs, steps_per_epoch = 5, 10
+    grad_fn = jax.jit(jax.value_and_grad(j_forward))
+    for s in range(epochs * steps_per_epoch):
+        epoch = s // steps_per_epoch
+        lf_e = float(one_cycle_lr(jnp.float32(epoch), EPOCHS, LRF))
+        ni = s
+        if ni <= WARMUP:
+            for j, g in enumerate(opt.param_groups):
+                g["lr"] = float(np.interp(
+                    ni, [0, WARMUP],
+                    [WARM_BIAS_LR if j == 2 else 0.0, g["initial_lr"] * lf_e]))
+                g["momentum"] = float(np.interp(
+                    ni, [0, WARMUP], [WARM_MOM, MOMENTUM]))
+        else:
+            for g in opt.param_groups:
+                g["lr"] = g["initial_lr"] * lf_e
+
+        x = rng.normal(0, 1, (2, 4, 6, 6)).astype(np.float32)
+        loss_t = t_forward(torch.from_numpy(x))
+        opt.zero_grad()
+        loss_t.backward()
+        opt.step()
+        # ModelEMA.update (torch_utils.py:285-294)
+        ema_updates += 1
+        d = 0.9999 * (1 - np.exp(-ema_updates / 2000.0))
+        with torch.no_grad():
+            for k, v in (("w", conv.weight), ("b", conv.bias), ("gain", gain)):
+                t_ema[k].mul_(d).add_(v.detach(), alpha=1 - d)
+
+        lr_groups, mom = warmup_factors(
+            jnp.float32(ni), WARMUP, jnp.float32(epoch), EPOCHS, LR0, LRF,
+            WARM_BIAS_LR, WARM_MOM, MOMENTUM)
+        loss_j, grads = grad_fn(params, jnp.asarray(x.transpose(0, 2, 3, 1)))
+        params, opt_state = opt_update(opt_state, params, grads, lr_groups, mom)
+        ema_p = ema_update(ema_p, params, jnp.float32(ema_updates))
+        np.testing.assert_allclose(float(loss_j), float(loss_t),
+                                   rtol=1e-5, atol=1e-7)
+
+    np.testing.assert_allclose(
+        np.asarray(params["w"]),
+        conv.weight.detach().numpy().transpose(2, 3, 1, 0),
+        rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(params["b"]),
+                               conv.bias.detach().numpy(), rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(params["gain"]),
+                               gain.detach().numpy(), rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ema_p["w"]),
+                               t_ema["w"].numpy().transpose(2, 3, 1, 0),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ema_p["gain"]),
+                               t_ema["gain"].numpy(), rtol=1e-4, atol=1e-6)

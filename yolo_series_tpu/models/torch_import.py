@@ -38,7 +38,11 @@ class _SD:
 
     def get(self, key: str) -> np.ndarray:
         self.used.add(key)
-        return np.asarray(self.sd[key])
+        # always copy: values often come from tensor.numpy() views that
+        # SHARE memory with live torch tensors, and jnp.asarray on CPU can
+        # zero-copy alias numpy buffers — an in-place optimizer step on the
+        # torch side would then silently mutate the imported params
+        return np.array(self.sd[key], copy=True)
 
     def has(self, key: str) -> bool:
         return key in self.sd
