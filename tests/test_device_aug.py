@@ -1,0 +1,177 @@
+"""Device-side augmentation tail vs the host cv2 path (SURVEY §2.8.3).
+
+The label math must match the host random_perspective bit-for-bit (shared
+formulas); the pixel path is allowed bilinear/LUT rounding differences
+(asserted within a few /255).
+"""
+
+import random
+
+import cv2
+import numpy as np
+import pytest
+
+from yolo_series_tpu.data import augment as A
+from yolo_series_tpu.data import device_aug as DA
+
+HYP = {"degrees": 10.0, "translate": 0.1, "scale": 0.5, "shear": 2.0,
+       "perspective": 0.0, "hsv_h": 0.015, "hsv_s": 0.7, "hsv_v": 0.4,
+       "flipud": 0.5, "fliplr": 0.5, "mosaic": 1.0, "mixup": 0.5,
+       "copy_paste": 0.0}
+
+
+def _structured_canvas(cs=256, seed=0):
+    rng = np.random.default_rng(seed)
+    img = np.full((cs, cs, 3), 114, np.uint8)
+    for _ in range(12):
+        x, y = rng.integers(0, cs - 40, 2)
+        w, h = rng.integers(10, 40, 2)
+        color = tuple(int(c) for c in rng.integers(0, 255, 3))
+        cv2.rectangle(img, (int(x), int(y)), (int(x + w), int(y + h)),
+                      color, -1)
+    return cv2.GaussianBlur(img, (0, 0), 1.5)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_warp_matches_cv2(seed):
+    import jax.numpy as jnp
+
+    s, cs = 128, 256
+    canvas = _structured_canvas(cs, seed)
+    rng = random.Random(seed)
+    M, sc, out_hw = DA.sample_perspective_params(
+        HYP["degrees"], HYP["translate"], HYP["scale"], HYP["shear"], 0.0,
+        (-s // 2, -s // 2), (cs, cs), rng)
+    assert out_hw == (s, s)
+    want = cv2.warpAffine(canvas, M[:2], dsize=(s, s),
+                          borderValue=(114, 114, 114))
+
+    aug = DA.make_device_augment(s, cs)
+    got = aug(jnp.asarray(canvas[None]),
+              jnp.asarray(DA.invert_affine(M)[None]),
+              jnp.ones((1, 3), np.float32),
+              np.zeros((1, 2), bool),
+              np.zeros((1,), np.int32), np.ones((1,), np.float32))
+    got = (np.asarray(got[0])[..., ::-1] * 255.0)  # RGB->BGR, denorm
+    diff = np.abs(got.astype(np.float32) - want.astype(np.float32))
+    # cv2 INTER_LINEAR quantizes bilinear coefficients to 5 bits; on
+    # high-contrast edges that costs up to ~8/255 vs exact float taps, so
+    # the envelope is: most pixels near-exact, a small edge fraction off
+    assert np.median(diff) <= 1.0
+    assert (diff > 8).mean() < 0.02, f"{(diff > 8).mean():.4f} px off by >8"
+    assert diff.mean() < 1.5
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_label_math_matches_host_random_perspective(seed):
+    s, cs = 128, 256
+    canvas = _structured_canvas(cs, seed)
+    rng_np = np.random.default_rng(seed)
+    n = 14
+    targets = np.zeros((n, 5), np.float32)
+    x1 = rng_np.uniform(0, cs - 40, n)
+    y1 = rng_np.uniform(0, cs - 40, n)
+    targets[:, 1] = x1
+    targets[:, 2] = y1
+    targets[:, 3] = x1 + rng_np.uniform(8, 40, n)
+    targets[:, 4] = y1 + rng_np.uniform(8, 40, n)
+    targets[:, 0] = rng_np.integers(0, 5, n)
+
+    border = (-s // 2, -s // 2)
+    r1, r2 = random.Random(seed), random.Random(seed)
+    _, want = A.random_perspective(
+        canvas.copy(), targets.copy(), degrees=HYP["degrees"],
+        translate=HYP["translate"], scale=HYP["scale"], shear=HYP["shear"],
+        perspective=0.0, border=border, rng=r1)
+    M, sc, out_hw = DA.sample_perspective_params(
+        HYP["degrees"], HYP["translate"], HYP["scale"], HYP["shear"], 0.0,
+        border, (cs, cs), r2)
+    got = DA.warp_labels(targets.copy(), M, sc, out_hw, perspective=0.0)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-3)
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_hsv_matches_cv2_lut(seed):
+    import jax.numpy as jnp
+
+    s = 96
+    img = _structured_canvas(s, seed)  # BGR
+    rng = random.Random(seed)
+    gains = (np.array([rng.uniform(-1, 1) for _ in range(3)])
+             * [HYP["hsv_h"], HYP["hsv_s"], HYP["hsv_v"]] + 1)
+
+    want = img.copy()
+
+    class _R:
+        def __init__(self):
+            self.i = 0
+
+        def uniform(self, a, b):
+            # replay the same three draws
+            v = (gains - 1) / [HYP["hsv_h"], HYP["hsv_s"], HYP["hsv_v"]]
+            out = v[self.i]
+            self.i += 1
+            return out
+
+    A.augment_hsv(want, HYP["hsv_h"], HYP["hsv_s"], HYP["hsv_v"], _R())
+
+    # device path: identity warp on an s-canvas
+    aug = DA.make_device_augment(s, s)
+    ident = np.array([[1, 0, 0], [0, 1, 0]], np.float32)
+    got = aug(jnp.asarray(img[None]), jnp.asarray(ident[None]),
+              jnp.asarray(gains[None].astype(np.float32)),
+              np.zeros((1, 2), bool), np.zeros((1,), np.int32),
+              np.ones((1,), np.float32))
+    got = np.asarray(got[0])[..., ::-1] * 255.0
+    diff = np.abs(got - want.astype(np.float32))
+    # LUT truncation vs float math: allow small per-pixel deviation
+    assert np.median(diff) <= 2.0
+    assert (diff > 6).mean() < 0.02, f"{(diff > 6).mean():.4f} px off by >6"
+
+
+def test_device_tail_loader_and_train_step(tmp_path):
+    """End-to-end: device_tail loader -> device aug -> one train step."""
+    import jax
+    import jax.numpy as jnp
+
+    import sys
+    sys.path.insert(0, "/root/repo")
+    from tools.bench_loader import make_synthetic_dataset
+    from yolo_series_tpu.data.datasets import DetectionDataset, create_loader
+    from yolo_series_tpu.losses import LossHyp, make_compute_loss_ota
+    from yolo_series_tpu.models.model import Model
+    from yolo_series_tpu.train.optim import OptimConfig
+    from yolo_series_tpu.train.schedules import warmup_factors
+    from yolo_series_tpu.train.step import init_train_state, make_train_step
+
+    files = make_synthetic_dataset(tmp_path, 8, hw=(200, 260))
+    img = 96
+    ds = DetectionDataset(files, img_size=img, batch_size=4, augment=True,
+                          hyp=HYP, device_tail=True,
+                          cache_path=str(tmp_path / "c.npz"))
+    assert ds.device_tail
+    loader = create_loader(ds, batch_size=4, shuffle=True, max_labels=64)
+    batch = next(iter(loader))
+    assert batch["canvases"].shape == (4, 2 * img, 2 * img, 3)
+    assert batch["minv"].shape == (4, 2, 3)
+
+    aug = DA.make_device_augment(img, 2 * img)
+    imgs = aug(jnp.asarray(batch["canvases"]), jnp.asarray(batch["minv"]),
+               jnp.asarray(batch["hsv"]), jnp.asarray(batch["flips"]),
+               jnp.asarray(batch["mix_idx"]), jnp.asarray(batch["mix_w"]))
+    arr = np.asarray(imgs)
+    assert arr.shape == (4, img, img, 3)
+    assert arr.min() >= 0.0 and arr.max() <= 1.0
+    assert arr.std() > 0.01  # not all-border
+
+    m = Model.from_yaml("yolo_series_tpu/models/cfg/training/yolov7-tiny.yaml")
+    loss_fn = make_compute_loss_ota(m.plan.head, LossHyp(), img)
+    cfg = OptimConfig()
+    ts = init_train_state(m.params, m.state, cfg)
+    step = make_train_step(m.plan, loss_fn, cfg, compute_dtype=jnp.float32)
+    lr_groups, mom = warmup_factors(jnp.float32(0), 100, jnp.float32(0.0),
+                                    300, cfg.lr0, 0.1, 0.1, 0.8, cfg.momentum)
+    ts2, metrics = step(ts, imgs, jnp.asarray(batch["labels"]),
+                        jnp.asarray(batch["label_mask"]), lr_groups, mom)
+    assert np.isfinite(float(metrics["total"]))

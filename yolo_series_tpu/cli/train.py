@@ -34,6 +34,11 @@ def make_parser():
                    help="vary img-size +/-25%% (bucketed)")
     p.add_argument("--freeze", type=int, default=0,
                    help="freeze first N layers")
+    p.add_argument("--device-aug", action="store_true",
+                   help="run warp/HSV/flip/mixup on the TPU "
+                        "(host keeps decode + mosaic compose)")
+    p.add_argument("--cache-images", action="store_true",
+                   help="RAM-cache decoded images (reference --cache)")
     p.add_argument("--image-weights", action="store_true")
     p.add_argument("--adam", action="store_true")
     p.add_argument("--linear-lr", action="store_true")
@@ -73,7 +78,8 @@ def main():
         label_smoothing=opt.label_smoothing, max_labels=opt.max_labels,
         noval=opt.noval, save_period=opt.save_period, seed=opt.seed,
         n_data_devices=opt.devices, multi_scale=opt.multi_scale,
-        freeze=opt.freeze, image_weights=opt.image_weights)
+        freeze=opt.freeze, image_weights=opt.image_weights,
+        device_aug=opt.device_aug, cache_images=opt.cache_images)
     if opt.evolve:
         from yolo_series_tpu.train.evolve import evolve
         evolve(tc, generations=opt.evolve_gens)

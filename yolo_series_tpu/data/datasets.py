@@ -169,7 +169,11 @@ class DetectionDataset:
                  hyp: Optional[dict] = None, rect=False, image_weights=False,
                  stride=32, pad=0.0, kind="coco", odgt_paths=(),
                  xml_dir=None, cut_max_len=-1, cache_path=None, prefix="",
-                 cache_images=False):
+                 cache_images=False, device_tail=False):
+        # device_tail: host does decode + mosaic compose + label math only;
+        # warp/HSV/flips/mixup run on-device (data/device_aug.py). Training
+        # aug path only — rect/eval keeps the host letterbox.
+        self.device_tail = device_tail and augment
         self.img_size = img_size
         self.augment = augment
         self.hyp = dict(DEFAULT_HYP, **(hyp or {}))
@@ -327,6 +331,85 @@ class DetectionDataset:
                                 mask[y1:y2, x1:x2].copy()))
         return samples
 
+    # -- device-tail item --------------------------------------------------
+
+    def device_item(self, index):
+        """Host half of the device-aug split (SURVEY §2.8.3): decode +
+        mosaic compose + aug-parameter sampling + label math. The pixel
+        warp/HSV/flip/mixup happen on-device with the SAME parameters
+        (data/device_aug.make_device_augment).
+
+        Returns dict(canvas (2s,2s,3) uint8 BGR, minv (2,3) f32 out->src,
+        hsv (3,) f32 gains, flips (2,) bool [ud, lr],
+        labels (n,5) cls + normalized xywh, post-warp post-flip).
+        """
+        import yolo_series_tpu.data.device_aug as DA
+
+        hyp = self.hyp
+        s = self.img_size
+        if random.random() < hyp["mosaic"]:
+            nine = random.random() >= 0.8
+            k = 8 if nine else 3
+            idxs = [index] + random.choices(range(len(self)), k=k)
+            random.shuffle(idxs)
+            imgs, lbs = [], []
+            for i in idxs:
+                img, _, (h, w) = self.load_image(i)
+                imgs.append(img)
+                lbs.append(self._labels_xyxy(i, w, h, 0, 0))
+            fn = A.mosaic9 if nine else A.mosaic4
+            canvas, labels = fn(imgs, lbs, s, random)
+            canvas, labels, _ = A.copy_paste(
+                canvas, labels, [], p=hyp["copy_paste"], rng=random)
+            M, sc, out_hw = DA.sample_perspective_params(
+                hyp["degrees"], hyp["translate"], hyp["scale"], hyp["shear"],
+                hyp["perspective"], self.mosaic_border, canvas.shape[:2],
+                random)
+            M_canvas = M
+        else:
+            img, _, (h, w) = self.load_image(index)
+            base, ratio, pad = A.letterbox(img, s, auto=False, scaleup=True)
+            labels = self._labels_xyxy(index, ratio[0] * w, ratio[1] * h,
+                                       pad[0], pad[1])
+            M, sc, out_hw = DA.sample_perspective_params(
+                hyp["degrees"], hyp["translate"], hyp["scale"], hyp["shear"],
+                hyp["perspective"], (0, 0), base.shape[:2], random)
+            # embed the s-canvas centered on the static 2s canvas; fold the
+            # embedding shift into the warp (canvas px -> image px -> out)
+            canvas = np.full((2 * s, 2 * s, 3), 114, np.uint8)
+            off = s // 2
+            canvas[off:off + s, off:off + s] = base
+            e_inv = np.eye(3)
+            e_inv[0, 2] = -off
+            e_inv[1, 2] = -off
+            M_canvas = M @ e_inv
+
+        labels = DA.warp_labels(labels, M, sc, out_hw,
+                                perspective=hyp["perspective"])
+        n = len(labels)
+        out = np.zeros((n, 5), np.float32)
+        if n:
+            out[:, 0] = labels[:, 0]
+            out[:, 1] = ((labels[:, 1] + labels[:, 3]) / 2) / out_hw[1]
+            out[:, 2] = ((labels[:, 2] + labels[:, 4]) / 2) / out_hw[0]
+            out[:, 3] = (labels[:, 3] - labels[:, 1]) / out_hw[1]
+            out[:, 4] = (labels[:, 4] - labels[:, 2]) / out_hw[0]
+
+        gains = np.array([random.uniform(-1, 1) for _ in range(3)],
+                         np.float64) * [hyp["hsv_h"], hyp["hsv_s"],
+                                        hyp["hsv_v"]] + 1
+        flip_ud = random.random() < hyp["flipud"]
+        flip_lr = random.random() < hyp["fliplr"]
+        if flip_ud and n:
+            out[:, 2] = 1 - out[:, 2]
+        if flip_lr and n:
+            out[:, 1] = 1 - out[:, 1]
+        return {"canvas": canvas,
+                "minv": DA.invert_affine(M_canvas),
+                "hsv": gains.astype(np.float32),
+                "flips": np.array([flip_ud, flip_lr], bool),
+                "labels": out}
+
     # -- item -------------------------------------------------------------
 
     def __getitem__(self, index):
@@ -417,6 +500,32 @@ def pad_labels(label_list: Sequence[np.ndarray], max_labels: int):
     return out, mask
 
 
+_MALLOC_TUNED = False
+
+
+def _tune_malloc_for_buffers():
+    """Keep multi-MB image buffers on the glibc heap instead of
+    mmap/munmap churn.
+
+    Every munmap returns pages to the OS, so the next canvas allocation
+    page-faults them back in — measured at single-digit MB/s on ballooned
+    VMs (a fresh 78 MB buffer: ~10 s first touch; warm reuse: 25 ms).
+    Raising M_MMAP_THRESHOLD/M_TRIM_THRESHOLD keeps the pages resident.
+    Same effect as MALLOC_MMAP_THRESHOLD_/MALLOC_TRIM_THRESHOLD_ env vars.
+    """
+    global _MALLOC_TUNED
+    if _MALLOC_TUNED:
+        return
+    _MALLOC_TUNED = True
+    try:
+        import ctypes
+        libc = ctypes.CDLL(None)
+        libc.mallopt(ctypes.c_int(-3), ctypes.c_int(128 << 20))  # M_MMAP_THRESHOLD
+        libc.mallopt(ctypes.c_int(-1), ctypes.c_int(256 << 20))  # M_TRIM_THRESHOLD
+    except Exception:
+        pass  # non-glibc platforms: the buffer pool still helps
+
+
 class create_loader:
     """Batched iterator with a background prefetch thread.
 
@@ -439,18 +548,85 @@ class create_loader:
         self.prefetch = prefetch
         self.image_weights = image_weights
         self.class_weights = class_weights
+        self._pools: dict = {}
+        self._pool_pos: dict = {}
+        _tune_malloc_for_buffers()
 
     def __len__(self):
         n = len(self.ds)
         return n // self.bs if self.drop_last else (n + self.bs - 1) // self.bs
 
+    def _pooled(self, key, shape, dtype=np.uint8):
+        """Round-robin reusable batch buffer, pages pre-touched.
+
+        Fresh multi-MB allocations fault in pages at single-digit MB/s on
+        ballooned VMs (measured: first touch of a 78 MB buffer ~10 s, warm
+        reuse 25 ms), so the loader never allocates batch storage per
+        batch. Contract: a yielded batch's arrays are valid until
+        `prefetch + 2` further batches are produced — consume (device_put)
+        before iterating on, which the trainer does.
+        """
+        pool = self._pools.get(key)
+        if pool is None or pool[0].shape != shape or pool[0].dtype != dtype:
+            pool = []
+            for _ in range(self.prefetch + 2):
+                a = np.empty(shape, dtype)
+                a.fill(0)  # force page-in once, up front
+                pool.append(a)
+            self._pools[key] = pool
+            self._pool_pos[key] = 0
+        i = self._pool_pos[key]
+        self._pool_pos[key] = (i + 1) % len(pool)
+        return pool[i]
+
     def _make_batch(self, idxs):
+        if getattr(self.ds, "device_tail", False):
+            return self._make_device_batch(idxs)
         items = [self.ds[i] for i in idxs]
-        imgs = np.stack([it[0] for it in items])
+        shape = (len(items),) + items[0][0].shape
+        imgs = self._pooled("images", shape)
+        for k, it in enumerate(items):
+            imgs[k] = it[0]
         labels, mask = pad_labels([it[1] for it in items], self.max_labels)
         return {"images": imgs, "labels": labels, "label_mask": mask,
                 "paths": [it[2] for it in items],
                 "shapes": [it[3] for it in items]}
+
+    def _make_device_batch(self, idxs):
+        """Collate for the device-aug tail: canvases + warp/HSV/flip params.
+        Mixup pairs two in-batch samples (same (aug, aug) distribution as
+        the reference's second-mosaic blend, datasets.py:840-847, without
+        composing a throwaway mosaic); labels concat host-side, the pixel
+        blend happens on device."""
+        import random as _random
+
+        items = [self.ds.device_item(i) for i in idxs]
+        b = len(items)
+        mix_idx = np.arange(b, dtype=np.int32)
+        mix_w = np.ones(b, np.float32)
+        lbs = [it["labels"] for it in items]
+        hyp = self.ds.hyp
+        for i in range(b):
+            if b > 1 and _random.random() < hyp.get("mixup", 0.0):
+                j = _random.randrange(b)
+                if j != i:
+                    mix_idx[i] = j
+                    mix_w[i] = float(np.random.beta(8.0, 8.0))
+                    if len(items[j]["labels"]):
+                        lbs[i] = (np.concatenate(
+                            [lbs[i], items[j]["labels"]], 0)
+                            if len(lbs[i]) else items[j]["labels"])
+        labels, mask = pad_labels(lbs, self.max_labels)
+        canvases = self._pooled(
+            "canvases", (b,) + items[0]["canvas"].shape)
+        for k, it in enumerate(items):
+            canvases[k] = it["canvas"]
+        return {"canvases": canvases,
+                "minv": np.stack([it["minv"] for it in items]),
+                "hsv": np.stack([it["hsv"] for it in items]),
+                "flips": np.stack([it["flips"] for it in items]),
+                "mix_idx": mix_idx, "mix_w": mix_w,
+                "labels": labels, "label_mask": mask}
 
     def __iter__(self):
         n = len(self.ds)

@@ -1,0 +1,211 @@
+"""Device-side training augmentation tail (SURVEY §2.8.3).
+
+The reference runs the whole aug pipeline on host CPU
+(utils/datasets.py:826-922). Here the expensive per-pixel stages — affine
+warp, HSV jitter, flips, mixup blend, normalize — run as ONE batched XLA
+program on the TPU, while the host keeps only JPEG decode, mosaic placement
+(data-dependent slicing) and the label math:
+
+    host:   decode -> mosaic4/9 compose (2s x 2s uint8) -> sample aug
+            params -> transform labels with the same params
+    device: bilinear affine warp (border 114) -> HSV jitter -> flips ->
+            mixup blend across batch -> /255 normalize
+
+Pixel parity vs the cv2 path is within bilinear/LUT rounding (a few /255);
+the LABEL math is shared bit-for-bit (sample_perspective_params +
+warp_labels mirror augment.random_perspective, datasets.py:1310-1396).
+
+Mixup deviation (documented): the reference blends a second, freshly
+augmented mosaic into each sample (datasets.py:840-847). Here mixup blends
+two independently augmented members of the SAME batch — the same
+distribution over (aug mosaic, aug mosaic) pairs — so the device program
+stays static-shape and no second mosaic is composed and thrown away.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+from typing import Tuple
+
+import numpy as np
+
+
+# -- host-side parameter sampling + label math (mirrors random_perspective) -
+
+
+def sample_perspective_params(degrees, translate, scale, shear, perspective,
+                              border, canvas_hw, rng=None):
+    """Sample the combined warp matrix exactly as augment.random_perspective
+    (reference datasets.py:1327-1352). Returns (M (3,3) float64, s)."""
+    rng = rng or random
+    height = canvas_hw[0] + border[0] * 2
+    width = canvas_hw[1] + border[1] * 2
+
+    C = np.eye(3)
+    C[0, 2] = -canvas_hw[1] / 2
+    C[1, 2] = -canvas_hw[0] / 2
+
+    P = np.eye(3)
+    P[2, 0] = rng.uniform(-perspective, perspective)
+    P[2, 1] = rng.uniform(-perspective, perspective)
+
+    R = np.eye(3)
+    a = rng.uniform(-degrees, degrees)
+    s = rng.uniform(1 - scale, 1 + scale)
+    # cv2.getRotationMatrix2D(angle=a, center=(0,0), scale=s):
+    # [[s cos a, s sin a, 0], [-s sin a, s cos a, 0]]
+    ca, sa = math.cos(math.radians(a)), math.sin(math.radians(a))
+    R[:2, :3] = np.array([[ca * s, sa * s, 0.0], [-sa * s, ca * s, 0.0]])
+
+    S = np.eye(3)
+    S[0, 1] = math.tan(rng.uniform(-shear, shear) * math.pi / 180)
+    S[1, 0] = math.tan(rng.uniform(-shear, shear) * math.pi / 180)
+
+    T = np.eye(3)
+    T[0, 2] = rng.uniform(0.5 - translate, 0.5 + translate) * width
+    T[1, 2] = rng.uniform(0.5 - translate, 0.5 + translate) * height
+
+    return T @ S @ R @ P @ C, s, (height, width)
+
+
+def warp_labels(targets, M, s, out_hw, perspective=0.0):
+    """Label transform + candidate filter of random_perspective
+    (datasets.py:1354-1396) without touching pixels. targets: (n,5)
+    [cls, x1, y1, x2, y2] canvas pixels -> output pixels."""
+    from yolo_series_tpu.data.augment import box_candidates
+
+    height, width = out_hw
+    n = len(targets)
+    if not n:
+        return targets
+    xy = np.ones((n * 4, 3))
+    xy[:, :2] = targets[:, [1, 2, 3, 4, 1, 4, 3, 2]].reshape(n * 4, 2)
+    xy = xy @ M.T
+    xy = (xy[:, :2] / xy[:, 2:3] if perspective else xy[:, :2]).reshape(n, 8)
+    x = xy[:, [0, 2, 4, 6]]
+    y = xy[:, [1, 3, 5, 7]]
+    new = np.concatenate((x.min(1), y.min(1), x.max(1), y.max(1))).reshape(4, n).T
+    new[:, [0, 2]] = new[:, [0, 2]].clip(0, width)
+    new[:, [1, 3]] = new[:, [1, 3]].clip(0, height)
+    keep = box_candidates(box1=targets[:, 1:5].T * s, box2=new.T, area_thr=0.10)
+    out = targets[keep]
+    out[:, 1:5] = new[keep]
+    return out
+
+
+# -- the device program -----------------------------------------------------
+
+
+def _rgb_to_hsv_cv(img):
+    """cv2-convention HSV on float RGB in [0,255]: H in [0,180), S,V in
+    [0,255] (cv2 uint8 convention, matching augment_hsv's LUT domain)."""
+    import jax.numpy as jnp
+
+    r, g, b = img[..., 0], img[..., 1], img[..., 2]
+    v = jnp.maximum(jnp.maximum(r, g), b)
+    mn = jnp.minimum(jnp.minimum(r, g), b)
+    c = v - mn
+    safe = jnp.where(c > 0, c, 1.0)
+    h = jnp.where(v == r, (g - b) / safe,
+                  jnp.where(v == g, 2.0 + (b - r) / safe,
+                            4.0 + (r - g) / safe))
+    h = (h * 30.0) % 180.0
+    h = jnp.where(c > 0, h, 0.0)
+    s = jnp.where(v > 0, c / jnp.where(v > 0, v, 1.0) * 255.0, 0.0)
+    return h, s, v
+
+
+def _hsv_to_rgb_cv(h, s, v):
+    import jax.numpy as jnp
+
+    h6 = h / 30.0  # sector in [0, 6)
+    c = (s / 255.0) * v
+    x = c * (1.0 - jnp.abs(h6 % 2.0 - 1.0))
+    m = v - c
+    sec = jnp.floor(h6).astype(jnp.int32) % 6
+    zero = jnp.zeros_like(c)
+    # per-sector (r,g,b) chroma pattern: 0:(c,x,0) 1:(x,c,0) 2:(0,c,x)
+    # 3:(0,x,c) 4:(x,0,c) 5:(c,0,x)
+    r = jnp.select([sec == 0, sec == 1, sec == 2, sec == 3, sec == 4],
+                   [c, x, zero, zero, x], c)
+    g = jnp.select([sec == 0, sec == 1, sec == 2, sec == 3, sec == 4],
+                   [x, c, c, x, zero], zero)
+    b = jnp.select([sec == 0, sec == 1, sec == 2, sec == 3, sec == 4],
+                   [zero, zero, x, c, c], x)
+    import jax.numpy as jnp2
+    return jnp2.stack([r + m, g + m, b + m], axis=-1)
+
+
+def make_device_augment(img_size: int, canvas_size: int):
+    """Build the jitted batched tail.
+
+    fn(canvases (B, C, C, 3) uint8 BGR (cv2 order — the channel flip to
+       RGB is free on device), minv (B, 2, 3) f32 out->src affine,
+       hsv_gains (B, 3) f32, flips (B, 2) bool [ud, lr],
+       mix_idx (B,) i32 partner index, mix_w (B,) f32 blend weight)
+      -> images (B, S, S, 3) float32 RGB in [0, 1]
+    """
+    import jax
+    import jax.numpy as jnp
+
+    s = img_size
+
+    def one(canvas, minv, gains):
+        # --- affine warp with bilinear sampling, border value 114
+        yy, xx = jnp.meshgrid(jnp.arange(s, dtype=jnp.float32),
+                              jnp.arange(s, dtype=jnp.float32), indexing="ij")
+        sx = minv[0, 0] * xx + minv[0, 1] * yy + minv[0, 2]
+        sy = minv[1, 0] * xx + minv[1, 1] * yy + minv[1, 2]
+        x0 = jnp.floor(sx)
+        y0 = jnp.floor(sy)
+        fx = sx - x0
+        fy = sy - y0
+        cs = canvas.shape[0]
+        img = canvas.astype(jnp.float32)
+
+        def tap(yi, xi):
+            inb = (xi >= 0) & (xi < cs) & (yi >= 0) & (yi < cs)
+            xi_c = jnp.clip(xi, 0, cs - 1).astype(jnp.int32)
+            yi_c = jnp.clip(yi, 0, cs - 1).astype(jnp.int32)
+            val = img[yi_c, xi_c]
+            return jnp.where(inb[..., None], val, 114.0)
+
+        w00 = (1 - fx) * (1 - fy)
+        w01 = fx * (1 - fy)
+        w10 = (1 - fx) * fy
+        w11 = fx * fy
+        out = (tap(y0, x0) * w00[..., None] + tap(y0, x0 + 1) * w01[..., None]
+               + tap(y0 + 1, x0) * w10[..., None]
+               + tap(y0 + 1, x0 + 1) * w11[..., None])
+        out = jnp.clip(jnp.round(out), 0.0, 255.0)
+
+        # --- HSV jitter (augment_hsv semantics: gains on H/S/V with H mod
+        # 180; LUT truncation approximated in float, datasets.py:976-987)
+        h, sat, v = _rgb_to_hsv_cv(out)
+        h = (h * gains[0]) % 180.0
+        sat = jnp.clip(sat * gains[1], 0.0, 255.0)
+        v = jnp.clip(v * gains[2], 0.0, 255.0)
+        out = _hsv_to_rgb_cv(h, sat, v)
+        return out
+
+    def fn(canvases, minv, hsv_gains, flips, mix_idx, mix_w):
+        canvases = canvases[..., ::-1]  # BGR -> RGB
+        imgs = jax.vmap(one)(canvases, minv, hsv_gains)
+        imgs = jnp.where(flips[:, 0, None, None, None],
+                         imgs[:, ::-1], imgs)
+        imgs = jnp.where(flips[:, 1, None, None, None],
+                         imgs[:, :, ::-1], imgs)
+        # mixup across the batch (identity when mix_w == 1)
+        partners = imgs[mix_idx]
+        w = mix_w[:, None, None, None]
+        imgs = imgs * w + partners * (1.0 - w)
+        return imgs / 255.0
+
+    return jax.jit(fn)
+
+
+def invert_affine(M: np.ndarray) -> np.ndarray:
+    """(3,3) affine -> (2,3) inverse map (output px -> source px)."""
+    Mi = np.linalg.inv(M)
+    return np.ascontiguousarray(Mi[:2]).astype(np.float32)

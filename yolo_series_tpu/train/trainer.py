@@ -76,6 +76,8 @@ class TrainConfig:
     multi_scale: bool = False     # bucketed ±25% device-side rescale
     freeze: int = 0               # freeze first N layers (train.py:102)
     image_weights: bool = False   # class-weighted epoch resampling
+    device_aug: bool = False      # warp/HSV/flip/mixup on-device
+    cache_images: bool = False    # RAM-cache decoded images (train --cache)
 
 
 def _scaled_loss_hyp(hyp: dict, nl: int, nc: int, img_size: int,
@@ -153,7 +155,8 @@ def train(tc: TrainConfig, train_ds: Optional[DetectionDataset] = None,
             odgt_paths=[p for p in
                         [data_cfg.get("crowd_human_train_label_file")] if p],
             xml_dir=data_cfg.get("safety_helmet_dataset_label_dir"),
-            cut_max_len=int(data_cfg.get("cut_max_len", -1)))
+            cut_max_len=int(data_cfg.get("cut_max_len", -1)),
+            device_tail=tc.device_aug, cache_images=tc.cache_images)
     anchors_override = None
     if tc.autoanchor and not tc.resume:
         try:
@@ -246,6 +249,7 @@ def train(tc: TrainConfig, train_ds: Optional[DetectionDataset] = None,
         cfg_dict["anchors"] = anchors_override
     step = int(ts.step)
     ni = step * accumulate  # integrated-batch counter (reference `ni`)
+    dev_aug_fn = None  # built lazily when device-tail batches appear
     micro = []  # pending micro-batches; persists across epoch boundaries,
     # like the reference's global ni % accumulate cadence (train.py:384)
     for epoch in range(start_epoch, tc.epochs):
@@ -264,17 +268,36 @@ def train(tc: TrainConfig, train_ds: Optional[DetectionDataset] = None,
                 cosine=not tc.linear_lr)
             fn = (step_fns[sizes[size_rng.integers(len(sizes))]]
                   if tc.multi_scale else step_fn)
+            if "canvases" in micro[0]:
+                # device-aug tail (data/device_aug.py): warp/HSV/flip/mixup
+                # run on-device; output is already normalized float
+                if dev_aug_fn is None:
+                    from yolo_series_tpu.data.device_aug import \
+                        make_device_augment
+                    dev_aug_fn = make_device_augment(tc.img_size,
+                                                     2 * tc.img_size)
+                aug_imgs = [dev_aug_fn(
+                    jnp.asarray(b["canvases"]), jnp.asarray(b["minv"]),
+                    jnp.asarray(b["hsv"]), jnp.asarray(b["flips"]),
+                    jnp.asarray(b["mix_idx"]), jnp.asarray(b["mix_w"]))
+                    for b in micro]
+                ims_dev = (jnp.stack(aug_imgs) if accumulate > 1
+                           else aug_imgs[0])
+            else:
+                if accumulate > 1:
+                    ims = np.stack([b["images"] for b in micro])
+                else:
+                    ims = micro[0]["images"]
+                ims_dev = jnp.asarray(ims, jnp.float32) / 255.0
             if accumulate > 1:
-                ims = np.stack([b["images"] for b in micro])
                 lbs = np.stack([b["labels"] for b in micro])
                 mks = np.stack([b["label_mask"] for b in micro])
             else:
-                ims = micro[0]["images"]
                 lbs, mks = micro[0]["labels"], micro[0]["label_mask"]
             micro = []
             ts, metrics = fn(
-                ts, jnp.asarray(ims, jnp.float32) / 255.0,
-                jnp.asarray(lbs), jnp.asarray(mks), lr_groups, mom)
+                ts, ims_dev, jnp.asarray(lbs), jnp.asarray(mks),
+                lr_groups, mom)
             step += 1
             m = {k: float(v) for k, v in metrics.items()}
             mloss = m if mloss is None else {
