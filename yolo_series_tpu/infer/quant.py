@@ -109,13 +109,16 @@ def int8_conv(x, wq, sw, b, stride, padding, groups, sx=None):
 
 def calibrate(plan: GraphPlan, params, state, batches: Sequence[np.ndarray],
               percentile: float = 99.99) -> Dict[str, float]:
-    """Collect per-conv input activation scales over calibration batches.
+    """Collect per-conv-LEAF input activation scales over calibration
+    batches — the calibration role of TRT's Int8EntropyCalibrator.
 
-    Runs the fp model layer-by-layer, recording each conv input's
-    |x| percentile — the calibration role of TRT's Int8EntropyCalibrator.
-    Returns {path: scale} for quantize_model.
+    Runs the fp model EAGERLY with the Ctx.observer hook, which fires at
+    every conv input with the same paths quantize_tree uses ("l3",
+    "l5/cv1", "l7.0/cv2", ...), so every quantized conv gets a static
+    scale and the int8 serving graph contains NO dynamic absmax
+    reductions. Returns {path: scale} for quantize_model.
     """
-    from yolo_series_tpu.models.layers import Ctx
+    from yolo_series_tpu.models.model import apply_model
 
     records: Dict[str, List[float]] = {}
 
@@ -123,38 +126,7 @@ def calibrate(plan: GraphPlan, params, state, batches: Sequence[np.ndarray],
         v = float(np.percentile(np.abs(np.asarray(x)), percentile))
         records.setdefault(path, []).append(v)
 
-    def run_block(block, p, s, x, ctx, path):
-        if isinstance(block, (L.ConvBnAct, L.Focus, L.RepConv, L.PlainConv)):
-            observe(path, x)
-            return block.apply(p, s, x, ctx)
-        if isinstance(block, L.Composite):
-            # run composite normally but observe top-level input only
-            observe(path, x)
-            return block.apply(p, s, x, ctx)
-        return block.apply(p, s, x, ctx)
-
-    ctx = Ctx(training=False, dtype=jnp.float32)
     for xb in batches:
-        x = jnp.asarray(xb, jnp.float32)
-        saved = {}
-        y = x
-        lp, ls = params["layers"], state["layers"]
-        for idx, spec in enumerate(plan.layers):
-            if isinstance(spec.frm, tuple):
-                inp = [y if j == -1 else saved[j] for j in spec.frm]
-            else:
-                inp = y if spec.frm == -1 else saved[spec.frm]
-            if spec.is_head:
-                break
-            if spec.n_seq > 1:
-                cur = inp
-                for r in range(spec.n_seq):
-                    cur, _ = run_block(spec.block, lp[idx][r], ls[idx][r],
-                                       cur, ctx, f"l{idx}.{r}")
-                y = cur
-            else:
-                y, _ = run_block(spec.block, lp[idx], ls[idx], inp, ctx,
-                                 f"l{idx}")
-            if idx in plan.save:
-                saved[idx] = y
+        apply_model(plan, params, state, jnp.asarray(xb, jnp.float32),
+                    training=False, dtype=jnp.float32, observer=observe)
     return {k: max(max(v) / 127.0, 1e-8) for k, v in records.items()}

@@ -37,6 +37,8 @@ class Ctx:
     training: bool = False
     axis_name: Optional[str] = None  # mesh axis for cross-replica BN sync
     dtype: Any = jnp.float32         # compute dtype for convs (bf16 on TPU)
+    observer: Any = None             # eager-only hook: observer(path, x) at
+    path: str = ""                   # every conv input (int8 calibration)
 
 
 # ---------------------------------------------------------------------------
@@ -244,7 +246,9 @@ class Composite(Block):
         new_state = dict(state)
 
         def call(name, x):
-            y, s = kids[name].apply(params[name], state[name], x, ctx)
+            c = (dataclasses.replace(ctx, path=f"{ctx.path}/{name}")
+                 if ctx.observer is not None else ctx)
+            y, s = kids[name].apply(params[name], state[name], x, c)
             new_state[name] = s
             return y
 
@@ -288,6 +292,8 @@ class ConvBnAct(Block):
 
     def apply(self, params, state, x, ctx):
         _, fn = get_activation(self.act)
+        if ctx.observer is not None:
+            ctx.observer(ctx.path, x)
         if "wq" in params:  # int8 deploy form (infer/quant.py)
             from yolo_series_tpu.infer.quant import int8_conv
             y = int8_conv(x.astype(jnp.float32), params["wq"], params["sw"],
@@ -333,6 +339,8 @@ class PlainConv(Block):
 
     def apply(self, params, state, x, ctx):
         pad = self.p if self.p is not None else 0
+        if ctx.observer is not None:
+            ctx.observer(ctx.path, x)
         if "wq" in params:
             from yolo_series_tpu.infer.quant import int8_conv
             y = int8_conv(x.astype(jnp.float32), params["wq"], params["sw"],
@@ -1135,6 +1143,8 @@ class RepConv(Composite):
 
     def apply(self, params, state, x, ctx):
         _, fn = get_activation(self.act)
+        if ctx.observer is not None:
+            ctx.observer(ctx.path, x)
         if "wq" in params:  # int8 deploy form
             from yolo_series_tpu.infer.quant import int8_conv
             y = int8_conv(x.astype(jnp.float32), params["wq"], params["sw"],

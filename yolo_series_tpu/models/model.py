@@ -42,14 +42,19 @@ def init_model(plan: GraphPlan, key) -> Tuple[Any, Any]:
 
 def apply_model(plan: GraphPlan, params, state, x, *,
                 training: bool = False, axis_name: Optional[str] = None,
-                dtype=jnp.float32):
+                dtype=jnp.float32, observer=None):
     """Run the graph. x: (B, H, W, C) NHWC in [0, 1].
 
     Returns (out, new_state) where out is the head's dict:
       training:  {"raw": [per-level (B, na, ny, nx, no)]}
       inference: {"pred": (B, A, no), "raw": [...]}
+
+    observer(path, x) — eager-only hook fired at every conv input with
+    paths matching infer/quant.quantize_tree ("l3", "l5/cv1", "l7.0", ...);
+    used for int8 activation-scale calibration. Do not use under jit.
     """
-    ctx = Ctx(training=training, axis_name=axis_name, dtype=dtype)
+    ctx = Ctx(training=training, axis_name=axis_name, dtype=dtype,
+              observer=observer)
     lp = params["layers"]
     ls = state["layers"]
     new_state: List[Any] = list(ls)
@@ -71,11 +76,15 @@ def apply_model(plan: GraphPlan, params, state, x, *,
             outs = []
             cur = inp
             for r in range(spec.n_seq):
-                cur, s_r = spec.block.apply(ps[r], ss[r], cur, ctx)
+                c = (dataclasses.replace(ctx, path=f"l{idx}.{r}")
+                     if observer is not None else ctx)
+                cur, s_r = spec.block.apply(ps[r], ss[r], cur, c)
                 outs.append(s_r)
             y, new_state[idx] = cur, outs
         else:
-            y, new_state[idx] = spec.block.apply(lp[idx], ls[idx], inp, ctx)
+            c = (dataclasses.replace(ctx, path=f"l{idx}")
+                 if observer is not None else ctx)
+            y, new_state[idx] = spec.block.apply(lp[idx], ls[idx], inp, c)
 
         if idx in plan.save:
             saved[idx] = y

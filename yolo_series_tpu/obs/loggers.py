@@ -68,13 +68,21 @@ class ExperimentLogger:
             import wandb
             self.wandb_run.log({tag: wandb.Image(str(path))}, step=step)
 
-    def log_model_artifact(self, ckpt_path, name="model", metadata=None):
-        """Model artifact upload (reference wandb_utils.py:179-191)."""
+    def log_model_artifact(self, ckpt_path, name="model", metadata=None,
+                           aliases=("latest",)):
+        """Model artifact (reference wandb_utils.py:179-191): always stored
+        in the LOCAL versioned store (obs/artifacts.py — works with zero
+        egress, supports artifact:// resume), mirrored to W&B if live."""
+        from yolo_series_tpu.obs.artifacts import ArtifactStore
+        store = ArtifactStore(self.save_dir / "artifacts")
+        vdir = store.log(name, [ckpt_path], metadata=metadata,
+                         aliases=aliases, type="model")
         if self.wandb_run:
             import wandb
             art = wandb.Artifact(name=name, type="model", metadata=metadata or {})
             art.add_file(str(ckpt_path))
-            self.wandb_run.log_artifact(art)
+            self.wandb_run.log_artifact(art, aliases=list(aliases))
+        return vdir
 
     def finish(self):
         if self.tb:

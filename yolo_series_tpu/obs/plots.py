@@ -179,3 +179,79 @@ def plot_labels_histogram(labels: np.ndarray, nc: int, save_dir="."):
     axes[2].set_title("wh")
     fig.savefig(Path(save_dir) / "labels.png", dpi=200)
     plt.close(fig)
+
+
+def plot_evolution(evolve_txt, save_dir=".", keys=None):
+    """Hyperparameter-evolution scatter panels (reference plots.py:321-342):
+    one subplot per hyp, fitness vs value, best point marked. Rows in
+    evolve.txt are [P, R, mAP50, mAP, hyp values...] (train/evolve.py)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    from yolo_series_tpu.eval.metrics import fitness
+    from yolo_series_tpu.train.evolve import EVOLVE_META
+
+    keys = list(keys or EVOLVE_META.keys())
+    x = np.loadtxt(str(evolve_txt), ndmin=2)
+    f = fitness(x)
+    ncol = 5
+    nrow = int(np.ceil(len(keys) / ncol))
+    plt.figure(figsize=(10, 2 * nrow), tight_layout=True)
+    matplotlib.rc("font", size=8)
+    for i, k in enumerate(keys):
+        y = x[:, i + 4]
+        mu = y[f.argmax()]  # best single result
+        plt.subplot(nrow, ncol, i + 1)
+        plt.scatter(y, f, c=f, cmap="viridis", alpha=0.8, edgecolors="none")
+        plt.plot(mu, f.max(), "k+", markersize=15)
+        plt.title(f"{k} = {mu:.3g}", fontdict={"size": 9})
+        if i % ncol != 0:
+            plt.yticks([])
+    out = Path(save_dir) / "evolve.png"
+    plt.savefig(out, dpi=200)
+    plt.close()
+    return out
+
+
+# COCO-17 keypoint skeleton + colors (reference plots.py:447-490)
+_KPT_PALETTE = np.array(
+    [[255, 128, 0], [255, 153, 51], [255, 178, 102], [230, 230, 0],
+     [255, 153, 255], [153, 204, 255], [255, 102, 255], [255, 51, 255],
+     [102, 178, 255], [51, 153, 255], [255, 153, 153], [255, 102, 102],
+     [255, 51, 51], [153, 255, 153], [102, 255, 102], [51, 255, 51],
+     [0, 255, 0], [0, 0, 255], [255, 0, 0], [255, 255, 255]])
+_SKELETON = [[16, 14], [14, 12], [17, 15], [15, 13], [12, 13], [6, 12],
+             [7, 13], [6, 7], [6, 8], [7, 9], [8, 10], [9, 11], [2, 3],
+             [1, 2], [1, 3], [2, 4], [3, 5], [4, 6], [5, 7]]
+_LIMB_COLOR = _KPT_PALETTE[[9, 9, 9, 9, 7, 7, 7, 0, 0, 0, 0, 0, 16, 16, 16,
+                            16, 16, 16, 16]]
+_KPT_COLOR = _KPT_PALETTE[[16, 16, 16, 16, 16, 0, 0, 0, 0, 0, 0, 9, 9, 9, 9,
+                           9, 9]]
+
+
+def plot_skeleton_kpts(im, kpts, steps=3, conf_thres=0.5):
+    """Draw COCO-17 pose keypoints + limb skeleton on a BGR image
+    (reference plots.py:447-490). kpts: flat [x, y(, conf)] * 17."""
+    import cv2
+
+    num_kpts = len(kpts) // steps
+    for kid in range(num_kpts):
+        x, y = kpts[steps * kid], kpts[steps * kid + 1]
+        if steps == 3 and kpts[steps * kid + 2] < conf_thres:
+            continue
+        if x <= 0 or y <= 0:
+            continue
+        r, g, b = _KPT_COLOR[kid % len(_KPT_COLOR)]
+        cv2.circle(im, (int(x), int(y)), 5, (int(r), int(g), int(b)), -1)
+    for sk_id, sk in enumerate(_SKELETON):
+        p1 = (int(kpts[(sk[0] - 1) * steps]), int(kpts[(sk[0] - 1) * steps + 1]))
+        p2 = (int(kpts[(sk[1] - 1) * steps]), int(kpts[(sk[1] - 1) * steps + 1]))
+        if steps == 3 and (kpts[(sk[0] - 1) * steps + 2] < conf_thres
+                           or kpts[(sk[1] - 1) * steps + 2] < conf_thres):
+            continue
+        if min(p1) <= 0 or min(p2) <= 0:
+            continue
+        r, g, b = _LIMB_COLOR[sk_id]
+        cv2.line(im, p1, p2, (int(r), int(g), int(b)), thickness=2)
+    return im

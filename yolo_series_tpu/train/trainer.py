@@ -203,11 +203,20 @@ def train(tc: TrainConfig, train_ds: Optional[DetectionDataset] = None,
     start_epoch = 0
     best_fitness = 0.0
     if tc.resume:
-        blob = load_checkpoint(tc.resume)
+        resume_path = tc.resume
+        if resume_path.startswith("artifact://"):
+            # artifact-resume (reference wandb_utils.download_model_artifact,
+            # :168-177) from the local versioned store
+            from yolo_series_tpu.obs.artifacts import (
+                ArtifactStore, download_model_artifact)
+            store = ArtifactStore(Path(tc.save_dir) / "artifacts")
+            resume_path, _meta = download_model_artifact(store, resume_path)
+            resume_path = str(resume_path)
+        blob = load_checkpoint(resume_path)
         ts = restore_train_state(blob, opt_cfg)
         start_epoch = blob["epoch"] + 1
         best_fitness = blob.get("best_fitness", 0.0)
-        print(f"resumed from {tc.resume} at epoch {start_epoch}")
+        print(f"resumed from {resume_path} at epoch {start_epoch}")
     if mesh is not None:
         ts = jax.device_put(ts, replicated(mesh))
 
