@@ -1,18 +1,23 @@
 #!/usr/bin/env python
-"""Benchmark: end-to-end detection throughput on one TPU chip.
+"""Benchmark: end-to-end detection throughput + latency on one TPU chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline",
+"p50_ms_bs1", "p50_ms_bs8"}.
 
-Measures the serving path of the flagship model (yolov7, re-parameterized
-deploy form, bf16): forward + in-graph decode + on-TPU batched NMS at
-640x640 — the same contract as the reference's TensorRT-FP16 end2end
-engine with EfficientNMS (deploy/triton-inference-server/README.md:33-44:
-588 img/s on RTX 3090, the vs_baseline denominator).
+Measures the SERVED path of the flagship model (yolov7, re-parameterized
+deploy form, bf16): uint8 ingest + on-device normalize + forward +
+in-graph decode + on-TPU batched NMS at 640x640 — the same contract as
+the reference's TensorRT-FP16 end2end engine with EfficientNMS
+(deploy/triton-inference-server/README.md:33-44: 588 img/s on RTX 3090,
+the vs_baseline denominator; :34-35 publishes 15.07 ms bs8 latency,
+the p50 comparison point).
 
-Timing: batches are dispatched back-to-back (device executes in order, as a
-serving queue would) and the LAST batch's output is fetched to the host,
-which bounds completion of the whole run — robust against the axon relay's
-unreliable block_until_ready.
+Throughput timing: batches are dispatched back-to-back (device executes
+in order, as a serving queue would) and the LAST batch's output is fetched
+to the host, which bounds completion of the whole run — robust against the
+axon relay's unreliable block_until_ready. Latency timing: one dispatch +
+output fetch per measurement, p50 over repeats (includes H2D of the uint8
+frame + D2H of the detections, like a real serving request).
 """
 
 import json
@@ -61,14 +66,15 @@ def main():
 
     @jax.jit
     def end2end(x):
-        out, _ = apply_model(plan, params, state, x, training=False,
+        # uint8 frames in; normalize fused on device (serving.py:55-58)
+        xf = x.astype(jnp.bfloat16) / jnp.bfloat16(255.0)
+        out, _ = apply_model(plan, params, state, xf, training=False,
                              dtype=jnp.bfloat16)
         return jax.vmap(nms_fn)(out["pred"].astype(jnp.float32))
 
     rng = np.random.default_rng(0)
     x = jax.device_put(
-        jnp.asarray(rng.uniform(0, 1, (BATCH, IMG, IMG, 3)).astype(np.float32)),
-        tpu)
+        jnp.asarray(rng.integers(0, 255, (BATCH, IMG, IMG, 3), np.uint8)), tpu)
 
     out = end2end(x)                      # compile + warmup
     _ = np.asarray(out[0])
@@ -80,13 +86,33 @@ def main():
             out = end2end(x)              # back-to-back dispatch
         _ = np.asarray(out[0])            # fetch of last batch bounds the run
         best = min(best, (time.perf_counter() - t0) / ITERS)
-
     fps = BATCH / best
+
+    # request latency: uint8 H2D + e2e + detections D2H, p50 over repeats
+    def p50_latency(bs, repeats=30):
+        fn = jax.jit(end2end)
+        host = rng.integers(0, 255, (bs, IMG, IMG, 3), np.uint8)
+        o = fn(jax.device_put(jnp.asarray(host), tpu))
+        _ = np.asarray(o[0])
+        times = []
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            o = fn(jax.device_put(jnp.asarray(host), tpu))
+            _ = np.asarray(o[0])          # detections back on host
+            times.append(time.perf_counter() - t0)
+        return float(np.median(times) * 1000.0)
+
+    p50_1 = p50_latency(1)
+    p50_8 = p50_latency(8)
+
     print(json.dumps({
         "metric": "images_per_sec_per_chip_yolov7_640_e2e_bs32",
         "value": round(fps, 1),
         "unit": "img/s",
         "vs_baseline": round(fps / BASELINE_FPS, 3),
+        "p50_ms_bs1": round(p50_1, 2),
+        "p50_ms_bs8": round(p50_8, 2),
+        "baseline_ms_bs8": 15.07,
     }))
 
 

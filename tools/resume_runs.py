@@ -33,17 +33,10 @@ def main():
         with open(last, "rb") as f:
             blob = pickle.load(f)
         epoch = blob.get("epoch", -1)
-        hyp = blob.get("hyp") or {}
+        # the CLI reloads the run's full TrainConfig from its opt.yaml
+        # (reference train.py:203-228) — only the checkpoint path is needed
         cmd = [sys.executable, "-m", "yolo_series_tpu.cli.train",
                "--resume", str(last)]
-        # cfg/data recorded by the trainer in opt.yaml when available
-        opt_yaml = run_dir / "opt.yaml"
-        if opt_yaml.exists():
-            import yaml
-            opt = yaml.safe_load(open(opt_yaml))
-            for k in ("cfg", "data", "epochs", "batch_size", "img_size"):
-                if k in opt and opt[k] is not None:
-                    cmd += [f"--{k.replace('_', '-')}", str(opt[k])]
         print(f"resuming {run_dir} from epoch {epoch}: {' '.join(cmd)}")
         if not args.dry_run:
             subprocess.run(cmd, check=False)

@@ -17,8 +17,10 @@ from yolo_series_tpu.cli.detect import increment_path
 
 def make_parser():
     p = argparse.ArgumentParser("yolo-series-tpu train")
-    p.add_argument("--cfg", type=str, required=True, help="model yaml")
-    p.add_argument("--data", type=str, required=True, help="dataset yaml")
+    p.add_argument("--cfg", type=str, default=None,
+                   help="model yaml (optional with --resume)")
+    p.add_argument("--data", type=str, default=None,
+                   help="dataset yaml (optional with --resume)")
     p.add_argument("--hyp", type=str, default=None, help="hyperparameter yaml")
     p.add_argument("--weights", type=str, default="", help="initial weights")
     p.add_argument("--resume", nargs="?", const="auto", default="",
@@ -68,18 +70,36 @@ def main():
         resume = get_latest_run(opt.project)
         assert resume, f"no last.ckpt found under {opt.project}"
 
-    save_dir = increment_path(Path(opt.project) / opt.name, opt.exist_ok)
-    tc = TrainConfig(
-        cfg=opt.cfg, data=opt.data, hyp=opt.hyp, epochs=opt.epochs,
-        batch_size=opt.batch_size, img_size=opt.img_size,
-        nominal_batch_size=opt.nbs,
-        weights=opt.weights, resume=resume, save_dir=str(save_dir),
-        adam=opt.adam, linear_lr=opt.linear_lr, rect=opt.rect,
-        label_smoothing=opt.label_smoothing, max_labels=opt.max_labels,
-        noval=opt.noval, save_period=opt.save_period, seed=opt.seed,
-        n_data_devices=opt.devices, multi_scale=opt.multi_scale,
-        freeze=opt.freeze, image_weights=opt.image_weights,
-        device_aug=opt.device_aug, cache_images=opt.cache_images)
+    opt_yaml = (Path(resume).resolve().parent.parent / "opt.yaml"
+                if resume and not resume.startswith("artifact://")
+                and Path(resume).exists() else None)
+    if opt_yaml is not None and opt_yaml.exists():
+        # resume continues IN the original run dir with its recorded
+        # TrainConfig (reference train.py:203-228: opt.resume reloads the
+        # run's opt.yaml wholesale)
+        import dataclasses as _dc
+
+        import yaml
+        saved = yaml.safe_load(open(opt_yaml)) or {}
+        fields = {f.name for f in _dc.fields(TrainConfig)}
+        kw = {k: v for k, v in saved.items() if k in fields}
+        kw["resume"] = resume
+        kw["save_dir"] = str(opt_yaml.parent)
+        tc = TrainConfig(**kw)
+    else:
+        assert opt.cfg and opt.data, "--cfg and --data required (no --resume)"
+        save_dir = increment_path(Path(opt.project) / opt.name, opt.exist_ok)
+        tc = TrainConfig(
+            cfg=opt.cfg, data=opt.data, hyp=opt.hyp, epochs=opt.epochs,
+            batch_size=opt.batch_size, img_size=opt.img_size,
+            nominal_batch_size=opt.nbs,
+            weights=opt.weights, resume=resume, save_dir=str(save_dir),
+            adam=opt.adam, linear_lr=opt.linear_lr, rect=opt.rect,
+            label_smoothing=opt.label_smoothing, max_labels=opt.max_labels,
+            noval=opt.noval, save_period=opt.save_period, seed=opt.seed,
+            n_data_devices=opt.devices, multi_scale=opt.multi_scale,
+            freeze=opt.freeze, image_weights=opt.image_weights,
+            device_aug=opt.device_aug, cache_images=opt.cache_images)
     if opt.evolve:
         from yolo_series_tpu.train.evolve import evolve
         evolve(tc, generations=opt.evolve_gens)
