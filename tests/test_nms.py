@@ -167,3 +167,49 @@ def test_pallas_nms_kernel_interpret():
     keep = np.asarray(nms_keep_mask_pallas(
         jnp.asarray(boxes), jnp.asarray(valid), 0.45, interpret=True))
     np.testing.assert_array_equal(keep, np.stack(keep_exp))
+
+
+def test_fused_head_nms_matches_standard_path():
+    """ops/nms.fused_head_nms (serving fast path) == decode + NMS."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from yolo_series_tpu.models.model import Model, apply_model
+    from yolo_series_tpu.models.reparam import fuse_model
+    from yolo_series_tpu.ops.nms import _single_image_nms, fused_head_nms
+
+    m = Model.from_yaml("yolo_series_tpu/models/cfg/deploy/yolov7-tiny.yaml")
+    params, state = fuse_model(m.plan, m.params, m.state)
+    plan = m.plan
+    head = plan.head
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.uniform(0, 1, (2, 160, 160, 3)).astype(np.float32))
+
+    out, _ = apply_model(plan, params, state, x, training=False)
+    nms_fn = functools.partial(
+        _single_image_nms, conf_thres=0.25, iou_thres=0.45, multi_label=False,
+        agnostic=False, max_det=50, max_nms=256, max_wh=4096.0, nc=plan.nc,
+        tile=256, class_mask=None, score_dtype=jnp.float32)
+    want = jax.vmap(nms_fn)(out["pred"])
+
+    feats, _ = apply_model(plan, params, state, x, training=False,
+                           return_head_inputs=True)
+    hp = params["layers"][-1]
+    got = fused_head_nms(head, hp, feats, conf_thres=0.25, iou_thres=0.45,
+                         max_det=50, max_nms=256, compute_dtype=jnp.float32)
+
+    for b in range(2):
+        n_w, n_g = int(want[0][b]), int(got[0][b])
+        assert n_g == n_w, (n_g, n_w)
+        # detections may appear in different order at exact score ties;
+        # compare as score-sorted sets
+        def rows(res):
+            n = int(res[0][b])
+            r = np.concatenate([np.asarray(res[1][b][:n]),
+                                np.asarray(res[2][b][:n, None]),
+                                np.asarray(res[3][b][:n, None])], 1)
+            return r[np.lexsort(r.T)]
+        np.testing.assert_allclose(rows(got), rows(want), rtol=1e-4,
+                                   atol=1e-3)

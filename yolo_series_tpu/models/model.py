@@ -42,7 +42,8 @@ def init_model(plan: GraphPlan, key) -> Tuple[Any, Any]:
 
 def apply_model(plan: GraphPlan, params, state, x, *,
                 training: bool = False, axis_name: Optional[str] = None,
-                dtype=jnp.float32, observer=None):
+                dtype=jnp.float32, observer=None,
+                return_head_inputs: bool = False):
     """Run the graph. x: (B, H, W, C) NHWC in [0, 1].
 
     Returns (out, new_state) where out is the head's dict:
@@ -68,6 +69,11 @@ def apply_model(plan: GraphPlan, params, state, x, *,
             inp = y if spec.frm == -1 else saved[spec.frm]
 
         if spec.is_head:
+            if return_head_inputs:
+                # serving fast path: the caller fuses head conv + candidate
+                # selection + decode (ops/nms.fused_head_nms), skipping the
+                # full (B, A, no) decode materialization and its transposes
+                return inp, {"layers": new_state}
             out, new_state[idx] = spec.block.apply(lp[idx], ls[idx], inp, ctx)
             return out, {"layers": new_state}
 

@@ -218,7 +218,15 @@ def _single_image_nms(
     top_scores = top_scores.astype(jnp.float32)
     # convert only the selected candidates (k rows, not all A anchors)
     cand_boxes = xywh2xyxy(pred[anchor_idx, 0:4])
+    return _nms_tail(cand_boxes, top_scores, cand_cls, iou_thres, agnostic,
+                     max_det, max_wh, tile)
 
+
+def _nms_tail(cand_boxes, top_scores, cand_cls, iou_thres, agnostic,
+              max_det, max_wh, tile):
+    """Greedy suppression + packed output from score-sorted candidates.
+    cand_boxes (K, 4) xyxy fp32, top_scores (K,) fp32 (-inf = invalid),
+    cand_cls (K,) fp32."""
     valid_cand = jnp.isfinite(top_scores)
     offset = 0.0 if agnostic else cand_cls * max_wh
     nms_boxes = jnp.where(valid_cand[:, None], cand_boxes + offset[:, None], 0.0)
@@ -312,3 +320,90 @@ def nms_output_to_dets(out: NMSOutput):
             )
         )
     return dets
+
+
+def fused_head_nms(head, head_params, feats, *, conf_thres=0.25,
+                   iou_thres=0.45, max_det=300, max_nms=256,
+                   max_wh=4096.0, compute_dtype=jnp.bfloat16):
+    """Serving fast path: head convs + candidate top-k + decode-of-selected
+    + NMS, WITHOUT materializing the (B, A, no) decoded tensor.
+
+    The standard path (heads._decode_level -> _single_image_nms) sigmoids
+    and transposes the full per-level maps (fp32, anchor-major relayout)
+    before NMS throws 99% of rows away; here scores are reduced directly
+    from the conv output layout, only the top `max_nms` candidates are
+    gathered and decoded. Same contract as the EfficientNMS outputs
+    (num, boxes, scores, classes) and numerically equivalent to the
+    standard path up to fp associativity (best-class selection via the
+    monotone sigmoid). multi_label=False semantics (serving default,
+    general.py:687-688).
+
+    head: Detect-family (fused: plain conv per level); feats: per-level
+    (B, ny, nx, c) backbone outputs; head_params: head param dict with
+    "m" conv list.
+    """
+    import numpy as np
+
+    from yolo_series_tpu.models.layers import Ctx
+
+    nc, na, nl = head.nc, head.na, head.nl
+    no = head.no
+    apx = head.anchors_grid()  # (nl, na, 2) pixel anchors
+    strides = head.strides
+
+    convs = head._convs()
+    raw_levels = []
+    dims = []
+    for i in range(nl):
+        y, _ = convs[i].apply(head_params["m"][i], {}, feats[i],
+                              Ctx(dtype=compute_dtype))
+        b, ny, nx, _ = y.shape
+        raw_levels.append(y.reshape(b, ny * nx * na, no))  # free reshape
+        dims.append((ny, nx))
+    offs = np.cumsum([0] + [r.shape[1] for r in raw_levels])
+
+    def one(rows_per_level):
+        # rows_per_level: [(A_l, no)] raw logits for one image
+        scores = []
+        for r in rows_per_level:
+            rf = r.astype(jnp.float32)
+            obj = jax.nn.sigmoid(rf[:, 4])
+            cls_best = jax.nn.sigmoid(jnp.max(rf[:, 5:5 + nc], axis=-1))
+            scores.append(obj * cls_best)
+        score = jnp.concatenate(scores)
+        score = jnp.where(score > conf_thres, score, -jnp.inf)
+        k = min(max_nms, score.shape[0])
+        top_scores, flat_idx = jax.lax.top_k(score, k)
+
+        # gather the k raw rows + their geometry, level by level
+        rows = jnp.zeros((k, no), jnp.float32)
+        grid = jnp.zeros((k, 2), jnp.float32)
+        anc = jnp.zeros((k, 2), jnp.float32)
+        strd = jnp.zeros((k,), jnp.float32)
+        for li in range(nl):
+            ny, nx = dims[li]
+            n_l = ny * nx * na
+            in_level = (flat_idx >= offs[li]) & (flat_idx < offs[li + 1])
+            idx_l = jnp.clip(flat_idx - offs[li], 0, n_l - 1)
+            r_l = rows_per_level[li][idx_l].astype(jnp.float32)
+            cell = idx_l // na
+            a_l = idx_l % na
+            gx = (cell % nx).astype(jnp.float32)
+            gy = (cell // nx).astype(jnp.float32)
+            g_l = jnp.stack([gx, gy], -1)
+            anc_l = jnp.asarray(apx[li], jnp.float32)[a_l]
+            rows = jnp.where(in_level[:, None], r_l, rows)
+            grid = jnp.where(in_level[:, None], g_l, grid)
+            anc = jnp.where(in_level[:, None], anc_l, anc)
+            strd = jnp.where(in_level, jnp.float32(strides[li]), strd)
+
+        # decode ONLY the selected candidates (yolo.py:55-57 math)
+        sig = jax.nn.sigmoid(rows[:, 0:4])
+        xy = (sig[:, 0:2] * 2.0 - 0.5 + grid) * strd[:, None]
+        wh = jnp.square(sig[:, 2:4] * 2.0) * anc
+        cand_boxes = xywh2xyxy(jnp.concatenate([xy, wh], -1))
+        cand_cls = jnp.argmax(rows[:, 5:5 + nc], axis=-1).astype(jnp.float32)
+        return _nms_tail(cand_boxes, top_scores, cand_cls, iou_thres,
+                         False, max_det, max_wh, 256)
+
+    return jax.vmap(one)(raw_levels)
