@@ -330,7 +330,14 @@ def train(tc: TrainConfig, train_ds: Optional[DetectionDataset] = None,
         save_checkpoint(save_dir / "weights" / "last.ckpt", ts, **ckpt_kw)
         if fi > 0 and fi >= best_fitness:
             save_checkpoint(save_dir / "weights" / "best.ckpt", ts, **ckpt_kw)
-        if tc.save_period > 0 and epoch % tc.save_period == 0:
+            if epoch >= 200:  # late-best snapshots (train.py:478-479)
+                save_checkpoint(save_dir / "weights" / f"best_{epoch:03d}.ckpt",
+                                ts, **ckpt_kw)
+        # epoch-stamped cadence (train.py:480-485): epoch 0, every
+        # `save_period`th (default 25), and the final 5 epochs
+        if (epoch == 0
+                or (tc.save_period > 0 and (epoch + 1) % tc.save_period == 0)
+                or epoch >= tc.epochs - 5):
             save_checkpoint(save_dir / "weights" / f"epoch_{epoch:03d}.ckpt",
                             ts, **ckpt_kw)
         print(f"epoch {epoch}: " + " ".join(f"{k}={v:.4f}" if isinstance(v, float)
