@@ -41,14 +41,22 @@ def test_box_iou_vs_numpy():
     np.testing.assert_allclose(got, exp, rtol=1e-4, atol=1e-5)
 
 
-def test_box_iou_vs_torchvision():
-    torch = pytest.importorskip("torch")
-    tv = pytest.importorskip("torchvision")
+def test_box_iou_vs_reference():
+    """Golden vs the reference's own pure-torch box_iou
+    (utils/general.py) — a stronger oracle than torchvision's."""
+    import torch
+
+    from tests.ref_oracle import has_reference, load_reference
+    if not has_reference():
+        pytest.skip("reference repo unavailable")
+    load_reference()
+    from utils.general import box_iou as ref_box_iou
+
     rng = np.random.default_rng(2)
     a = _rand_xyxy(40, rng)
     b = _rand_xyxy(25, rng)
     got = np.asarray(B.box_iou(jnp.asarray(a), jnp.asarray(b)))
-    exp = tv.ops.box_iou(torch.from_numpy(a), torch.from_numpy(b)).numpy()
+    exp = ref_box_iou(torch.from_numpy(a), torch.from_numpy(b)).numpy()
     np.testing.assert_allclose(got, exp, rtol=1e-4, atol=1e-5)
 
 
