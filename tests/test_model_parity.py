@@ -115,3 +115,126 @@ def test_param_count_matches_reference():
     params, _ = init_model(plan, jax.random.PRNGKey(0))
     mine = sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(params))
     assert mine == ref_n, f"{mine} vs reference {ref_n}"
+
+
+def test_tta_augmented_forward_parity():
+    """TTA (scales x flips + de-scale/de-flip, yolo.py:581-599) vs the
+    reference's forward(augment=True)."""
+    import torch
+
+    import jax.numpy as jnp
+    from yolo_series_tpu.models.graph import compile_graph
+    from yolo_series_tpu.models.torch_import import import_state_dict
+    from yolo_series_tpu.models.tta import apply_model_tta
+
+    ref = load_reference()
+    torch.manual_seed(0)
+    ref_model = ref["Model"]("/root/reference/cfg/deploy/yolov7-tiny.yaml",
+                             ch=3, nc=80).float().eval()
+    plan = compile_graph("yolo_series_tpu/models/cfg/deploy/yolov7-tiny.yaml")
+    params, state = import_state_dict(plan, ref_state_dict_numpy(ref_model))
+
+    rng = np.random.default_rng(5)
+    x = rng.uniform(0, 1, (1, 3, 192, 192)).astype(np.float32)
+    with torch.no_grad():
+        want = ref_model(torch.from_numpy(x), augment=True)[0].numpy()
+    got = np.asarray(apply_model_tta(plan, params, state,
+                                     jnp.asarray(x.transpose(0, 2, 3, 1))))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got[..., :4], want[..., :4], rtol=1e-3,
+                               atol=5e-2)
+    np.testing.assert_allclose(got[..., 4:], want[..., 4:], rtol=1e-3,
+                               atol=1e-4)
+
+
+def _retargeted_pair(head_torch, head_mine, nc, extra_args=(), seed=0,
+                     img=192):
+    """Build ref + mine from yolov7-tiny with the head swapped."""
+    import torch
+    import yaml
+
+    import jax.numpy as jnp
+    from yolo_series_tpu.models.graph import compile_graph
+    from yolo_series_tpu.models.model import apply_model
+    from yolo_series_tpu.models.torch_import import import_state_dict
+
+    ref = load_reference()
+    with open("/root/reference/cfg/training/yolov7-tiny.yaml") as f:
+        ref_cfg = yaml.safe_load(f)
+    ref_cfg["head"][-1][2] = head_torch
+    ref_cfg["head"][-1][3] = ["nc", "anchors", *extra_args]
+    torch.manual_seed(seed)
+    ref_model = ref["Model"](ref_cfg, ch=3, nc=nc).float().eval()
+
+    with open("yolo_series_tpu/models/cfg/training/yolov7-tiny.yaml") as f:
+        my_cfg = yaml.safe_load(f)
+    my_cfg["head"][-1][2] = head_mine
+    my_cfg["head"][-1][3] = ["nc", "anchors", *extra_args]
+    my_cfg["nc"] = nc
+    plan = compile_graph(my_cfg)
+    params, state = import_state_dict(plan, ref_state_dict_numpy(ref_model))
+
+    rng = np.random.default_rng(seed)
+    x = rng.uniform(0, 1, (1, 3, img, img)).astype(np.float32)
+    with torch.no_grad():
+        ref_out = ref_model(torch.from_numpy(x))
+    out, _ = apply_model(plan, params, state,
+                         jnp.asarray(x.transpose(0, 2, 3, 1)), training=False)
+    return ref_out, out
+
+
+def test_ikeypoint_full_model_parity():
+    """IKeypoint decode incl. the reference's channel-concat layout quirk
+    (yolo.py:257-260) and raw-logit keypoint x/y decode (:278-280)."""
+    ref_out, out = _retargeted_pair("IKeypoint", "ikeypoint", nc=1,
+                                    extra_args=(17,))
+    want = ref_out[0].numpy()
+    got = np.asarray(out["pred"])
+    assert got.shape == want.shape  # (1, A, 6 + 51)
+    np.testing.assert_allclose(got[..., :4], want[..., :4], rtol=1e-4,
+                               atol=1e-2)
+    np.testing.assert_allclose(got[..., 4:6], want[..., 4:6], rtol=1e-4,
+                               atol=1e-5)
+    # keypoints: xy in pixels, visibility sigmoid
+    np.testing.assert_allclose(got[..., 6:], want[..., 6:], rtol=1e-4,
+                               atol=1e-2)
+
+
+def test_ibin_full_model_parity():
+    """IBin inference decode (argmax-bin + residual w/h, yolo.py:460-505)."""
+    ref_out, out = _retargeted_pair("IBin", "ibin", nc=80)
+    want = ref_out[0].numpy()
+    got = np.asarray(out["pred"])
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got[..., :4], want[..., :4], rtol=1e-4,
+                               atol=1e-2)
+    np.testing.assert_allclose(got[..., 4:], want[..., 4:], rtol=1e-4,
+                               atol=1e-5)
+
+
+def test_classify_block_parity():
+    """Classify head (common.py:1015-1025): pool + conv + flatten."""
+    import torch
+
+    import jax
+    import jax.numpy as jnp
+    from yolo_series_tpu.models.extra import Classify
+    from yolo_series_tpu.models.layers import Ctx
+    from yolo_series_tpu.models.torch_import import _SD, import_block
+
+    load_reference()
+    from models.common import Classify as TClassify
+
+    torch.manual_seed(0)
+    tc = TClassify(32, 10).float().eval()
+    sd = _SD({f"blk.{k}": v.detach().float().numpy()
+              for k, v in tc.state_dict().items()})
+    blk = Classify(32, 10)
+    params, state = import_block(blk, sd, "blk")
+    rng = np.random.default_rng(0)
+    x = rng.uniform(-1, 1, (2, 32, 8, 8)).astype(np.float32)
+    with torch.no_grad():
+        want = tc(torch.from_numpy(x)).numpy()
+    got, _ = blk.apply(params, state, jnp.asarray(x.transpose(0, 2, 3, 1)),
+                       Ctx(training=False))
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-5)

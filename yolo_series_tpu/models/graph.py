@@ -247,11 +247,20 @@ def compile_graph(cfg: Union[str, dict], ch: int = 3,
                 lead_strides = tuple(head_strides_full)
             anc_np = check_anchor_order(anc_np, lead_strides)
             anc_norm = anc_np / np.asarray(lead_strides, np.float32)[:, None, None]
+            extra = {}
+            if len(args) > 2 and isinstance(args[2], int):
+                # third positional arg: nkpt (IKeypoint, yolo.py:214) /
+                # bin_count (IBin, yolo.py:437)
+                if name == "ikeypoint":
+                    extra["nkpt"] = args[2]
+                elif name == "ibin":
+                    extra["bin_count"] = args[2]
             head = _HEAD_CLASSES[name](
                 nc=args[0] if args else nc_,
                 anchors=tuple(tuple(r.reshape(-1).tolist()) for r in anc_norm),
                 ch=head_ch,
                 strides=lead_strides,
+                **extra,
             )
             frm_h = tuple(j if j == -1 else (i + j if j < 0 else j) for j in f)
             spec = LayerSpec(i, frm_h, head, 0, 0.0, is_head=True)

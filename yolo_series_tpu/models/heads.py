@@ -329,23 +329,30 @@ class IKeypoint(Detect):
                 det = det * params["im"][i]["v"].astype(det.dtype)
             kpt, _ = self._kpt_convs()[i].apply(params["m_kpt"][i], {}, x, ctx)
             b, ny, nx, _ = det.shape
-            det = det.reshape(b, ny, nx, self.na, self.no_det)
-            kpt = kpt.reshape(b, ny, nx, self.na, self.no_kpt)
-            full = jnp.concatenate([det, kpt], -1)
+            # CHANNEL-true reference layout (yolo.py:257-260): the det and
+            # kpt conv outputs are concatenated along channels and the
+            # combined axis is reinterpreted as (na, no) — which threads
+            # det channels of anchors 1+ into anchor 0's keypoint slots.
+            # The trained network learns this interpretation, so exact
+            # weight-level parity requires reproducing it, quirk and all.
+            full = jnp.concatenate([det, kpt], -1).reshape(
+                b, ny, nx, self.na, self.no)
             raws.append(full.transpose(0, 3, 1, 2, 4))
             if not ctx.training:
-                y = jax.nn.sigmoid(det.astype(jnp.float32))
+                x_det = full[..., :self.no_det].astype(jnp.float32)
+                x_kpt = full[..., self.no_det:].astype(jnp.float32)
+                y = jax.nn.sigmoid(x_det)
                 gx = jax.lax.broadcasted_iota(jnp.float32, (ny, nx), 1)
                 gy = jax.lax.broadcasted_iota(jnp.float32, (ny, nx), 0)
                 grid = jnp.stack([gx, gy], -1)[:, :, None, :]
                 anc = jnp.asarray(apx[i], jnp.float32)[None, None, :, :]
                 xy = (y[..., 0:2] * 2.0 - 0.5 + grid) * self.strides[i]
                 wh = jnp.square(y[..., 2:4] * 2.0) * anc
-                kf = kpt.astype(jnp.float32)
-                kx = (kf[..., 0::3] * 2.0 - 0.5 + grid[..., 0:1]) * self.strides[i]
-                ky = (kf[..., 1::3] * 2.0 - 0.5 + grid[..., 1:2]) * self.strides[i]
-                kv = jax.nn.sigmoid(kf[..., 2::3])
-                kout = jnp.stack([kx, ky, kv], -1).reshape(*kf.shape[:-1], -1)
+                # kpt x/y decode from RAW logits (no sigmoid, yolo.py:278-280)
+                kx = (x_kpt[..., 0::3] * 2.0 - 0.5 + grid[..., 0:1]) * self.strides[i]
+                ky = (x_kpt[..., 1::3] * 2.0 - 0.5 + grid[..., 1:2]) * self.strides[i]
+                kv = jax.nn.sigmoid(x_kpt[..., 2::3])
+                kout = jnp.stack([kx, ky, kv], -1).reshape(*x_kpt.shape[:-1], -1)
                 out = jnp.concatenate([xy, wh, y[..., 4:], kout], -1)
                 preds.append(out.transpose(0, 3, 1, 2, 4).reshape(
                     b, self.na * ny * nx, -1))

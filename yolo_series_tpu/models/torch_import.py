@@ -255,6 +255,9 @@ def import_block(block, sd: _SD, prefix: str) -> Tuple[Any, Any]:
         if block.weight:
             return {"w": jnp.asarray(sd.get(f"{prefix}.w"))}, {}
         return {}, {}
+    if isinstance(block, X.Classify):
+        return ({"w": _t(sd.get(f"{prefix}.conv.weight")),
+                 "b": jnp.asarray(sd.get(f"{prefix}.conv.bias"))}, {})
     if isinstance(block, L.PlainConv):
         return ({"w": _t(sd.get(f"{prefix}.weight")),
                  "b": jnp.asarray(sd.get(f"{prefix}.bias"))}, {})
@@ -278,7 +281,13 @@ def _import_head(head, sd: _SD, prefix: str):
     for i in range(head.nl):
         params["m"].append({"w": _t(sd.get(f"{prefix}.m.{i}.weight")),
                             "b": jnp.asarray(sd.get(f"{prefix}.m.{i}.bias"))})
-    if isinstance(head, (H.IDetect, H.IAuxDetect)) and not fused_implicit:
+    if isinstance(head, H.IBin):
+        # SigmoidBin buffers are fixed tables regenerated here
+        for wh in ("w", "h"):
+            sd.used.add(f"{prefix}.{wh}_bin_sigmoid.bins")
+            sd.used.add(f"{prefix}.{wh}_bin_sigmoid.BCEbins.pos_weight")
+    if isinstance(head, (H.IDetect, H.IAuxDetect, H.IKeypoint, H.IBin)) \
+            and not fused_implicit:
         params["ia"] = [{"v": jnp.asarray(sd.get(f"{prefix}.ia.{i}.implicit").reshape(-1))}
                         for i in range(head.nl)]
         params["im"] = [{"v": jnp.asarray(sd.get(f"{prefix}.im.{i}.implicit").reshape(-1))}
@@ -287,6 +296,10 @@ def _import_head(head, sd: _SD, prefix: str):
         params["m2"] = [{"w": _t(sd.get(f"{prefix}.m2.{i}.weight")),
                          "b": jnp.asarray(sd.get(f"{prefix}.m2.{i}.bias"))}
                         for i in range(head.nl)]
+    if isinstance(head, H.IKeypoint):
+        params["m_kpt"] = [{"w": _t(sd.get(f"{prefix}.m_kpt.{i}.weight")),
+                            "b": jnp.asarray(sd.get(f"{prefix}.m_kpt.{i}.bias"))}
+                           for i in range(head.nl)]
     return params, {}
 
 

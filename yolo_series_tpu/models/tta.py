@@ -25,8 +25,16 @@ def _scale_img(x, ratio, gs=32):
         return x
     b, h, w, c = x.shape
     nh, nw = int(h * ratio), int(w * ratio)
-    x = jax.image.resize(x, (b, nh, nw, c), method="bilinear")
-    ph, pw = int((h * ratio + gs - 1) // gs * gs), int((w * ratio + gs - 1) // gs * gs)
+    # antialias=False: torch F.interpolate(bilinear) does not low-pass on
+    # downscale, and TTA parity requires matching pixels
+    x = jax.image.resize(x, (b, nh, nw, c), method="bilinear",
+                         antialias=False)
+    # pad target is ceil(h*ratio/gs)*gs of the FRACTIONAL scaled size
+    # (torch_utils.scale_img uses math.ceil; an integer +gs-1 trick floors
+    # 128.64 -> 128 instead of 160 and changes the anchor count)
+    import math
+    ph = math.ceil(h * ratio / gs) * gs
+    pw = math.ceil(w * ratio / gs) * gs
     return jnp.pad(x, ((0, 0), (0, ph - nh), (0, pw - nw), (0, 0)),
                    constant_values=0.447)
 
