@@ -16,8 +16,15 @@ Throughput timing: batches are dispatched back-to-back (device executes
 in order, as a serving queue would) and the LAST batch's output is fetched
 to the host, which bounds completion of the whole run — robust against the
 axon relay's unreliable block_until_ready. Latency timing: one dispatch +
-output fetch per measurement, p50 over repeats (includes H2D of the uint8
-frame + D2H of the detections, like a real serving request).
+output fetch per measurement, p50 over repeats, input pre-staged (the dev
+tunnel's H2D runs at ~27 MB/s and would otherwise measure the tunnel;
+`relay_rtt_ms` reports the tunnel's fixed round-trip separately).
+
+Input realism: random uint8 frames through RANDOM-INIT fused weights.
+Every stage is shape-static (top-256 candidates padded with -inf, fixed
+NMS matrix), so runtime is data-independent except the NMS convergence
+loop depth — weight realism does not change the measured time, only
+zero-egress prevents using pretrained weights at all.
 """
 
 import json

@@ -268,3 +268,31 @@ def test_dataset_tools(coco_tree):
     lists2 = autosplit(root / "images", weights=(1.0, 0.0, 0.0),
                        annotated_only=True, seed=0)
     assert len(lists2[0].read_text().strip().splitlines()) == n_imgs
+
+
+@pytest.mark.skipif(not has_reference(), reason="reference repo unavailable")
+def test_hist_equalize_and_bbox_ioa_golden():
+    """Deterministic aug kernels vs the reference implementations
+    (datasets.py:990-998 hist_equalize, :1407-1423 bbox_ioa)."""
+    from tests.ref_oracle import load_reference
+    load_reference()
+    from utils.datasets import bbox_ioa as ref_bbox_ioa
+    from utils.datasets import hist_equalize as ref_hist_equalize
+
+    from yolo_series_tpu.data.augment import bbox_ioa_np, hist_equalize
+
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 255, (64, 80, 3), np.uint8)
+    img = cv2.GaussianBlur(img, (0, 0), 2)
+    for clahe in (True, False):
+        got = hist_equalize(img.copy(), clahe=clahe, bgr=True)
+        want = ref_hist_equalize(img.copy(), clahe=clahe, bgr=True)
+        np.testing.assert_array_equal(got, want)
+
+    box = np.array([10.0, 12.0, 50.0, 40.0], np.float32)
+    boxes = np.stack([
+        rng.uniform(0, 60, 12), rng.uniform(0, 40, 12),
+        rng.uniform(20, 80, 12), rng.uniform(20, 60, 12)], 1).astype(np.float32)
+    got = bbox_ioa_np(box, boxes)
+    want = ref_bbox_ioa(box, boxes)
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-7)

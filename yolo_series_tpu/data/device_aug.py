@@ -26,7 +26,6 @@ from __future__ import annotations
 
 import math
 import random
-from typing import Tuple
 
 import numpy as np
 
@@ -133,8 +132,7 @@ def _hsv_to_rgb_cv(h, s, v):
                    [x, c, c, x, zero], zero)
     b = jnp.select([sec == 0, sec == 1, sec == 2, sec == 3, sec == 4],
                    [zero, zero, x, c, c], x)
-    import jax.numpy as jnp2
-    return jnp2.stack([r + m, g + m, b + m], axis=-1)
+    return jnp.stack([r + m, g + m, b + m], axis=-1)
 
 
 def make_device_augment(img_size: int, canvas_size: int):
