@@ -296,3 +296,37 @@ def test_hist_equalize_and_bbox_ioa_golden():
     got = bbox_ioa_np(box, boxes)
     want = ref_bbox_ioa(box, boxes)
     np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-7)
+
+
+@pytest.mark.skipif(not has_reference(), reason="reference repo unavailable")
+def test_segment_utils_golden():
+    """segments2boxes / resample_segments vs the reference
+    (general.py)."""
+    from tests.ref_oracle import load_reference
+    load_reference()
+    from utils.general import resample_segments as ref_resample
+    from utils.general import segments2boxes as ref_s2b
+
+    from yolo_series_tpu.utils.general import (
+        resample_segments, segments2boxes)
+
+    rng = np.random.default_rng(3)
+    segs = [rng.uniform(0, 100, (int(rng.integers(4, 12)), 2))
+            .astype(np.float32) for _ in range(5)]
+    np.testing.assert_allclose(
+        segments2boxes([s.copy() for s in segs]),
+        ref_s2b([s.copy() for s in segs]), rtol=1e-6, atol=1e-5)
+    got = resample_segments([s.copy() for s in segs], n=100)
+    want = ref_resample([s.copy() for s in segs], n=100)
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(g, w, rtol=1e-6, atol=1e-5)
+
+
+def test_check_dataset_and_file(tmp_path):
+    from yolo_series_tpu.utils.general import check_dataset, clean_str
+
+    (tmp_path / "t.txt").write_text("x")
+    check_dataset({"train": str(tmp_path / "t.txt")})  # ok
+    with pytest.raises(FileNotFoundError):
+        check_dataset({"train": str(tmp_path / "missing.txt")})
+    assert clean_str("a|b@c#d") == "a_b_c_d"

@@ -213,3 +213,46 @@ def test_fused_head_nms_matches_standard_path():
             return r[np.lexsort(r.T)]
         np.testing.assert_allclose(rows(got), rows(want), rtol=1e-4,
                                    atol=1e-3)
+
+
+def test_batched_nms_kpt_matches_reference():
+    """Keypoint NMS vs reference non_max_suppression_kpt
+    (general.py:723-780, kpt_label=True)."""
+    import torch
+
+    import jax.numpy as jnp
+
+    from tests.ref_oracle import has_reference, load_reference
+    if not has_reference():
+        pytest.skip("reference repo unavailable")
+    load_reference()
+    from utils.general import non_max_suppression_kpt
+
+    from yolo_series_tpu.ops.nms import batched_nms_kpt
+
+    rng = np.random.default_rng(0)
+    b, a, nkpt = 2, 400, 17
+    pred = np.zeros((b, a, 6 + 3 * nkpt), np.float32)
+    pred[..., 0:2] = rng.uniform(50, 600, (b, a, 2))       # cx, cy
+    pred[..., 2:4] = rng.uniform(10, 120, (b, a, 2))       # w, h
+    pred[..., 4] = rng.uniform(0, 1, (b, a)) ** 2          # obj
+    pred[..., 5] = rng.uniform(0.5, 1, (b, a))             # single cls
+    pred[..., 6:] = rng.uniform(0, 640, (b, a, 3 * nkpt))
+
+    want = non_max_suppression_kpt(torch.from_numpy(pred), conf_thres=0.25,
+                                   iou_thres=0.45, kpt_label=True)
+    num, boxes, scores, classes, kpts = batched_nms_kpt(
+        jnp.asarray(pred), conf_thres=0.25, iou_thres=0.45, max_det=300,
+        max_nms=400)
+
+    for i in range(b):
+        w = want[i].numpy()
+        n = int(num[i])
+        assert n == len(w), (n, len(w))
+        order_w = np.argsort(-w[:, 4], kind="stable")
+        np.testing.assert_allclose(np.asarray(boxes[i][:n]),
+                                   w[order_w, :4], rtol=1e-5, atol=1e-3)
+        np.testing.assert_allclose(np.asarray(scores[i][:n]),
+                                   w[order_w, 4], rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(kpts[i][:n]),
+                                   w[order_w, 6:], rtol=1e-5, atol=1e-3)

@@ -223,10 +223,11 @@ def _single_image_nms(
 
 
 def _nms_tail(cand_boxes, top_scores, cand_cls, iou_thres, agnostic,
-              max_det, max_wh, tile):
+              max_det, max_wh, tile, payload=None):
     """Greedy suppression + packed output from score-sorted candidates.
     cand_boxes (K, 4) xyxy fp32, top_scores (K,) fp32 (-inf = invalid),
-    cand_cls (K,) fp32."""
+    cand_cls (K,) fp32; payload (K, P) optional extra columns (keypoints)
+    carried through the same scatter."""
     valid_cand = jnp.isfinite(top_scores)
     offset = 0.0 if agnostic else cand_cls * max_wh
     nms_boxes = jnp.where(valid_cand[:, None], cand_boxes + offset[:, None], 0.0)
@@ -245,6 +246,11 @@ def _nms_tail(cand_boxes, top_scores, cand_cls, iou_thres, agnostic,
     out_classes = jnp.zeros((max_det,), jnp.int32).at[scatter_idx].set(
         cand_cls.astype(jnp.int32), mode="drop")
     num = jnp.minimum(jnp.sum(keep.astype(jnp.int32)), max_det)
+    if payload is not None:
+        out_payload = jnp.zeros((max_det, payload.shape[-1]),
+                                jnp.float32).at[scatter_idx].set(
+            payload.astype(jnp.float32), mode="drop")
+        return num, out_boxes, out_scores, out_classes, out_payload
     return num, out_boxes, out_scores, out_classes
 
 
@@ -407,3 +413,31 @@ def fused_head_nms(head, head_params, feats, *, conf_thres=0.25,
                          False, max_det, max_wh, 256)
 
     return jax.vmap(one)(raw_levels)
+
+
+def batched_nms_kpt(pred: jnp.ndarray, conf_thres: float = 0.25,
+                    iou_thres: float = 0.45, max_det: int = 300,
+                    max_nms: int = 256, max_wh: float = 4096.0,
+                    agnostic: bool = False):
+    """Keypoint-aware NMS (reference non_max_suppression_kpt,
+    general.py:723-780, kpt_label=True): pred is the IKeypoint decoded
+    output (B, A, 6 + 3*nkpt) = [xywh, obj, cls1, kpts...] with obj/cls
+    already sigmoided; score = obj * cls. Returns
+    (num (B,), boxes (B, max_det, 4) xyxy, scores, classes, kpts
+    (B, max_det, 3*nkpt)) — static shapes, fully on-device.
+    """
+    n_kpt_cols = pred.shape[-1] - 6
+
+    del n_kpt_cols  # (documented in the docstring; inferred from payload)
+
+    def one(p):
+        score = (p[:, 4] * p[:, 5]).astype(jnp.float32)
+        score = jnp.where(score > conf_thres, score, -jnp.inf)
+        k = min(max_nms, score.shape[0])
+        top_scores, idx = jax.lax.top_k(score, k)
+        cand_boxes = xywh2xyxy(p[idx, 0:4].astype(jnp.float32))
+        cand_cls = jnp.zeros((k,), jnp.float32)  # single-class pose head
+        return _nms_tail(cand_boxes, top_scores, cand_cls, iou_thres,
+                         agnostic, max_det, max_wh, 256, payload=p[idx, 6:])
+
+    return jax.vmap(one)(pred)

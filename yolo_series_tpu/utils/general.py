@@ -108,3 +108,68 @@ def model_info(plan, params, state, img_size=640):
     print(f"model: {len(plan.layers)} layers, {n_p:,} parameters, "
           f"{gflops:.1f} GFLOPs @ {img_size}px")
     return {"layers": len(plan.layers), "parameters": n_p, "gflops": gflops}
+
+
+def clean_str(s: str) -> str:
+    """Sanitize a string for filenames (reference general.py clean_str)."""
+    import re
+    return re.sub(pattern="[|@#!¡·$€%&()=?¿^*;:,¨´><+]", repl="_", string=s)
+
+
+def check_file(file: str) -> str:
+    """Return the path if it exists, else search for it recursively under
+    cwd (reference general.py check_file)."""
+    import glob
+    from pathlib import Path
+    if not file or Path(file).is_file():
+        return file
+    files = glob.glob(f"./**/{Path(file).name}", recursive=True)
+    assert files, f"File not found: {file}"
+    assert len(files) == 1, f"Multiple files match '{file}': {files}"
+    return files[0]
+
+
+def check_dataset(data: dict):
+    """Verify the dataset paths in a data dict exist (reference
+    general.py check_dataset — minus the auto-download, which is
+    meaningless in a zero-egress environment)."""
+    from pathlib import Path
+    missing = []
+    for split in ("train", "val", "test"):
+        p = data.get(split)
+        if p and not Path(p).exists():
+            missing.append(f"{split}: {p}")
+    if missing:
+        raise FileNotFoundError(
+            "dataset paths not found (no network egress to download): "
+            + "; ".join(missing))
+
+
+def segments2boxes(segments):
+    """Polygon segments -> (n, 4) cls-less xywh boxes (reference
+    general.py segments2boxes)."""
+    boxes = []
+    for s in segments:
+        x, y = s.T
+        boxes.append([x.min(), y.min(), x.max(), y.max()])
+    b = np.array(boxes, np.float32).reshape(-1, 4)
+    out = np.empty_like(b)
+    out[:, 0] = (b[:, 0] + b[:, 2]) / 2
+    out[:, 1] = (b[:, 1] + b[:, 3]) / 2
+    out[:, 2] = b[:, 2] - b[:, 0]
+    out[:, 3] = b[:, 3] - b[:, 1]
+    return out
+
+
+def resample_segments(segments, n: int = 1000):
+    """Upsample each polygon to n points by linear interpolation along the
+    CLOSED contour (reference general.py resample_segments)."""
+    out = []
+    for s in segments:
+        s = np.concatenate((s, s[0:1, :]), axis=0)
+        x = np.linspace(0, len(s) - 1, n)
+        xp = np.arange(len(s))
+        out.append(np.concatenate(
+            [np.interp(x, xp, s[:, i]) for i in range(2)]
+        ).reshape(2, -1).T)
+    return out
