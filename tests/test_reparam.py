@@ -99,3 +99,21 @@ def test_fast_stem_noop_on_tiny():
     params, state = fuse_model(plan, params, state)
     plan2, p2, s2 = make_fast_stem(plan, params, state)
     assert plan2 is plan
+
+
+def test_prune_and_sparsity():
+    """Per-leaf L1 pruning (torch_utils.prune/sparsity equivalents)."""
+    import jax
+
+    from yolo_series_tpu.models.model import Model, apply_model
+    from yolo_series_tpu.models.reparam import fuse_model, prune_model, sparsity
+
+    m = Model.from_yaml("yolo_series_tpu/models/cfg/deploy/yolov7-tiny.yaml")
+    params, state = fuse_model(m.plan, m.params, m.state)
+    s0 = sparsity(params)
+    pruned = prune_model(params, amount=0.3)
+    s1 = sparsity(pruned)
+    assert s1 > s0 + 0.2  # conv kernels dominate the param count
+    x = jnp.ones((1, 64, 64, 3), jnp.float32)
+    out, _ = apply_model(m.plan, pruned, state, x, training=False)
+    assert np.all(np.isfinite(np.asarray(out["pred"])))

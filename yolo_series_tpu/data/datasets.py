@@ -94,8 +94,17 @@ def build_label_cache(im_files: Sequence[str], *, kind: str = "coco",
     kind='human': joint CrowdHuman(.odgt) + SHEL(xml) labels with the
     cut_max_len image-drop rule (reference datasets.py:649-803).
     """
-    key = hashlib.md5(("|".join(im_files) + f"{kind}{cut_max_len}").encode()
-                     ).hexdigest()
+    # cache key covers the file LIST and the label files' size+mtime, so
+    # edited labels invalidate the cache (the reference hashes size sums,
+    # datasets.py get_hash; mtimes make it strictly stronger)
+    sig_parts = ["|".join(im_files), f"{kind}{cut_max_len}"]
+    for lb in img2label_paths(list(im_files)):
+        try:
+            st = os.stat(lb)
+            sig_parts.append(f"{st.st_size}:{st.st_mtime_ns}")
+        except OSError:
+            sig_parts.append("absent")
+    key = hashlib.md5("|".join(sig_parts).encode()).hexdigest()
     if cache_path and os.path.isfile(cache_path):
         with open(cache_path, "rb") as f:
             cache = pickle.load(f)

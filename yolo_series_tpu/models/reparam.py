@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from typing import Any, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -122,3 +123,39 @@ def fuse_model(plan: "GraphPlan", params, state) -> Tuple[Any, Any]:
             new_p.append(p)
             new_s.append(s)
     return {"layers": new_p}, {"layers": new_s}
+
+
+def prune_model(params, amount: float = 0.3):
+    """Per-leaf L1 unstructured pruning of conv kernels (reference
+    torch_utils.prune, :228-236: l1_unstructured per Conv2d module).
+    Zeroes the smallest-|w| `amount` fraction of every conv kernel leaf;
+    the zeros persist through deploy transforms and quantization."""
+
+    def prune_leaf(path, leaf):
+        name = ""
+        for p in reversed(path):
+            k = getattr(p, "key", None)
+            if isinstance(k, str):
+                name = k
+                break
+        if name == "w" and getattr(leaf, "ndim", 0) == 4:
+            flat = np.abs(np.asarray(leaf)).ravel()
+            k = int(len(flat) * amount)
+            if k == 0:
+                return leaf
+            thr = np.partition(flat, k - 1)[k - 1]
+            return jnp.where(jnp.abs(leaf) <= thr, 0.0, leaf)
+        return leaf
+
+    return jax.tree_util.tree_map_with_path(prune_leaf, params)
+
+
+def sparsity(params) -> float:
+    """Global fraction of zero weights (reference torch_utils.sparsity)."""
+
+    zeros = total = 0
+    for leaf in jax.tree_util.tree_leaves(params):
+        a = np.asarray(leaf)
+        zeros += int((a == 0).sum())
+        total += a.size
+    return zeros / max(total, 1)

@@ -255,3 +255,31 @@ def plot_skeleton_kpts(im, kpts, steps=3, conf_thres=0.5):
         r, g, b = _LIMB_COLOR[sk_id]
         cv2.line(im, p1, p2, (int(r), int(g), int(b)), thickness=2)
     return im
+
+
+def output_to_target(num, boxes, scores, classes):
+    """Fixed-shape NMS outputs -> plottable target rows
+    [batch_id, cls, cx, cy, w, h, conf] (reference plots.py
+    output_to_target)."""
+    rows = []
+    for b in range(len(num)):
+        n = int(num[b])
+        for i in range(n):
+            x1, y1, x2, y2 = np.asarray(boxes[b][i], np.float64)
+            rows.append([b, int(classes[b][i]), (x1 + x2) / 2, (y1 + y2) / 2,
+                         x2 - x1, y2 - y1, float(scores[b][i])])
+    return np.array(rows, np.float64).reshape(-1, 7)
+
+
+def output_to_keypoint(num, boxes, scores, classes, kpts):
+    """Keypoint NMS outputs -> rows [batch_id, cls, cx, cy, w, h, conf,
+    kpts...] (reference plots.py output_to_keypoint)."""
+    rows = []
+    for b in range(len(num)):
+        n = int(num[b])
+        for i in range(n):
+            x1, y1, x2, y2 = np.asarray(boxes[b][i], np.float64)
+            rows.append([b, int(classes[b][i]), (x1 + x2) / 2, (y1 + y2) / 2,
+                         x2 - x1, y2 - y1, float(scores[b][i]),
+                         *np.asarray(kpts[b][i], np.float64)])
+    return np.array(rows, np.float64)
