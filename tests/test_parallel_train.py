@@ -221,3 +221,46 @@ def test_warmup_factors_schedule():
                                  300, lr0, lrf, 0.1, 0.8, 0.937)
     assert float(lr_g2[0]) == pytest.approx(float(lr_g2[2]))
     assert float(mom2) == pytest.approx(0.937, abs=1e-6)
+
+
+def test_fused_serving_sharded_equals_single_device():
+    """The fused serving program (ops/nms.fused_head_nms) under a
+    'data'-sharded mesh == single-device results — the pod-serving path
+    (batch parallel over ICI; every op is per-image so XLA shards it
+    without collectives)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from yolo_series_tpu.models.model import Model, apply_model
+    from yolo_series_tpu.models.reparam import fuse_model
+    from yolo_series_tpu.ops.nms import fused_head_nms
+    from yolo_series_tpu.parallel.mesh import make_mesh
+
+    m = Model.from_yaml("yolo_series_tpu/models/cfg/deploy/yolov7-tiny.yaml")
+    params, state = fuse_model(m.plan, m.params, m.state)
+    plan = m.plan
+    head = plan.head
+    hp = params["layers"][-1]
+
+    def serve(x):
+        xf = x.astype(jnp.float32) / 255.0
+        feats, _ = apply_model(plan, params, state, xf, training=False,
+                               return_head_inputs=True)
+        return fused_head_nms(head, hp, feats, conf_thres=0.25,
+                              iou_thres=0.45, max_det=50, max_nms=256,
+                              compute_dtype=jnp.float32)
+
+    rng = np.random.default_rng(0)
+    x = rng.integers(0, 255, (8, 160, 160, 3)).astype(np.uint8)
+
+    want = jax.jit(serve)(jnp.asarray(x))
+
+    mesh = make_mesh(n_data=8, n_model=1)
+    bsh = NamedSharding(mesh, P("data"))
+    xs = jax.device_put(jnp.asarray(x), bsh)
+    got = jax.jit(serve, in_shardings=(bsh,))(xs)
+
+    for a, b in zip(want, got):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-4)
