@@ -356,6 +356,7 @@ def fused_head_nms(head, head_params, feats, *, conf_thres=0.25,
     no = head.no
     apx = head.anchors_grid()  # (nl, na, 2) pixel anchors
     strides = head.strides
+    assert len(feats) >= nl, (len(feats), nl)
 
     convs = head._convs()
     raw_levels = []
@@ -426,10 +427,6 @@ def batched_nms_kpt(pred: jnp.ndarray, conf_thres: float = 0.25,
     (num (B,), boxes (B, max_det, 4) xyxy, scores, classes, kpts
     (B, max_det, 3*nkpt)) — static shapes, fully on-device.
     """
-    n_kpt_cols = pred.shape[-1] - 6
-
-    del n_kpt_cols  # (documented in the docstring; inferred from payload)
-
     def one(p):
         score = (p[:, 4] * p[:, 5]).astype(jnp.float32)
         score = jnp.where(score > conf_thres, score, -jnp.inf)
