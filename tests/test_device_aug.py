@@ -175,3 +175,24 @@ def test_device_tail_loader_and_train_step(tmp_path):
     ts2, metrics = step(ts, imgs, jnp.asarray(batch["labels"]),
                         jnp.asarray(batch["label_mask"]), lr_groups, mom)
     assert np.isfinite(float(metrics["total"]))
+
+
+@pytest.mark.parametrize("hw", [(480, 640), (720, 1280), (640, 640)])
+def test_device_letterbox_matches_cv2(hw):
+    import jax.numpy as jnp
+
+    from yolo_series_tpu.data.device_aug import make_device_letterbox
+
+    img = _structured_canvas(256, 1)
+    img = cv2.resize(img, (hw[1], hw[0]))
+    want, ratio_w, pad_w = A.letterbox(img.copy(), 320, auto=False,
+                                       scaleup=True)
+    fn, ratio, pad = make_device_letterbox(hw, dst=320)
+    got = np.asarray(fn(jnp.asarray(img[None])))[0]
+    assert got.shape == want.shape
+    assert ratio == pytest.approx(ratio_w, abs=1e-9)
+    assert pad == pytest.approx(pad_w, abs=1e-9)
+    diff = np.abs(got.astype(np.float32) - want.astype(np.float32))
+    # cv2 INTER_LINEAR fixed-point vs exact bilinear: edge-pixel envelope
+    assert np.median(diff) <= 1.0
+    assert (diff > 8).mean() < 0.02

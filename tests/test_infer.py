@@ -128,3 +128,50 @@ def test_coco_eval_half_wrong():
     ev = COCOEvaluator(gt, res)
     out = ev.summarize(verbose=False)
     assert 0.4 < out["AP50"] < 0.6  # recall caps at 0.5
+
+
+def test_serving_device_ingest_matches_host_letterbox():
+    """ServingEngine(ingest_hw=...) letterboxes raw frames ON DEVICE and
+    returns source-pixel detections == host-letterbox + rescale."""
+    import jax.numpy as jnp
+
+    from yolo_series_tpu.data.augment import letterbox
+    from yolo_series_tpu.infer.serving import ServingEngine
+    from yolo_series_tpu.models.model import Model
+    from yolo_series_tpu.models.reparam import fuse_model
+
+    m = Model.from_yaml("yolo_series_tpu/models/cfg/deploy/yolov7-tiny.yaml")
+    params, state = fuse_model(m.plan, m.params, m.state)
+    hw = (120, 160)
+    size = 160
+    common = dict(batch_size=2, img_size=size, conf_thres=0.001,
+                  max_det=20, dtype=jnp.float32, fast_stem=False)
+    eng_dev = ServingEngine(m.plan, params, state, ingest_hw=hw, **common)
+    eng_host = ServingEngine(m.plan, params, state, **common)
+
+    rng = np.random.default_rng(0)
+    frames = rng.integers(0, 255, (2, *hw, 3), np.uint8)
+    out_dev = eng_dev.infer(frames)
+
+    lbs = np.stack([letterbox(f, size, auto=False, scaleup=True)[0]
+                    for f in frames])
+    _, ratio, pad = letterbox(frames[0], size, auto=False, scaleup=True)
+    out_host = eng_host.infer(lbs)
+
+    n_d = np.asarray(out_dev["num_dets"]).ravel()
+    n_h = np.asarray(out_host["num_dets"]).ravel()
+    np.testing.assert_array_equal(n_d, n_h)
+    for b in range(2):
+        n = int(n_d[b])
+        if n == 0:
+            continue
+        host_boxes = np.asarray(out_host["det_boxes"][b][:n])
+        mapped = (host_boxes - [pad[0], pad[1], pad[0], pad[1]]) / ratio[0]
+        mapped = np.clip(mapped, 0, [hw[1], hw[0], hw[1], hw[0]])
+        # device bilinear vs cv2 fixed-point shifts borderline candidates
+        # slightly; boxes agree to sub-pixel
+        np.testing.assert_allclose(np.asarray(out_dev["det_boxes"][b][:n]),
+                                   mapped, rtol=1e-3, atol=1.0)
+        np.testing.assert_allclose(np.asarray(out_dev["det_scores"][b][:n]),
+                                   np.asarray(out_host["det_scores"][b][:n]),
+                                   rtol=5e-2, atol=1e-3)

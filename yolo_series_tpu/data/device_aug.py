@@ -207,3 +207,35 @@ def invert_affine(M: np.ndarray) -> np.ndarray:
     """(3,3) affine -> (2,3) inverse map (output px -> source px)."""
     Mi = np.linalg.inv(M)
     return np.ascontiguousarray(Mi[:2]).astype(np.float32)
+
+
+def make_device_letterbox(src_hw, dst: int = 640, pad_value: float = 114.0):
+    """Jitted device-side letterbox for a FIXED source shape (one camera /
+    stream = one compiled program): aspect-preserving bilinear resize +
+    center pad to (dst, dst), uint8 in -> uint8 out, plus the static
+    (ratio, (dw, dh)) needed to rescale detections back
+    (augment.letterbox semantics with auto=False, scaleup=True,
+    datasets.py:1277-1307).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    h, w = src_hw
+    r = min(dst / h, dst / w)
+    new_w, new_h = int(round(w * r)), int(round(h * r))
+    dw, dh = (dst - new_w) / 2, (dst - new_h) / 2
+    top, bottom = int(round(dh - 0.1)), int(round(dh + 0.1))
+    left, right = int(round(dw - 0.1)), int(round(dw + 0.1))
+
+    @jax.jit
+    def fn(x):
+        xf = x.astype(jnp.float32)
+        b = x.shape[0]
+        y = jax.image.resize(xf, (b, new_h, new_w, 3), method="bilinear",
+                             antialias=False)
+        y = jnp.clip(jnp.round(y), 0, 255)
+        y = jnp.pad(y, ((0, 0), (top, bottom), (left, right), (0, 0)),
+                    constant_values=pad_value)
+        return y.astype(jnp.uint8)
+
+    return fn, (r, r), (dw, dh)

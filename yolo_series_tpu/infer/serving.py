@@ -36,7 +36,12 @@ class ServingEngine:
 
     def __init__(self, plan, params, state, *, batch_size=8, img_size=640,
                  conf_thres=0.25, iou_thres=0.45, max_det=100,
-                 dtype=jnp.bfloat16, max_nms=1024, fast_stem=True):
+                 dtype=jnp.bfloat16, max_nms=1024, fast_stem=True,
+                 ingest_hw: Optional[tuple] = None):
+        """ingest_hw=(h, w): accept RAW camera-shaped uint8 frames and
+        letterbox ON DEVICE (data/device_aug.make_device_letterbox) —
+        camera bytes to detections in one program; detections are
+        rescaled back to source pixels before returning."""
         if fast_stem:
             from yolo_series_tpu.models.faststem import make_fast_stem
             plan, params, state = make_fast_stem(plan, params, state, max_pairs=2)
@@ -55,10 +60,19 @@ class ServingEngine:
         head = plan.head
         hp_idx = len(plan.layers) - 1
 
+        lb_fn = ratio = pad = None
+        if ingest_hw is not None:
+            from yolo_series_tpu.data.device_aug import make_device_letterbox
+            lb_fn, ratio, pad = make_device_letterbox(
+                tuple(ingest_hw), dst=img_size)
+        self.ingest_hw = ingest_hw
+
         def end2end(params, state, x):
             # x: (B, H, W, 3) uint8 RGB; normalization fused on device;
             # fused head + top-k + decode-of-selected + NMS (no (B, A, no)
             # materialization — ops/nms.fused_head_nms, +19% e2e)
+            if lb_fn is not None:
+                x = lb_fn(x)  # raw frames -> letterboxed, on device
             xf = x.astype(dtype) / jnp.asarray(255.0, dtype)
             feats, _ = apply_model(plan, params, state, xf, training=False,
                                    dtype=dtype, return_head_inputs=True)
@@ -66,11 +80,21 @@ class ServingEngine:
                 head, params["layers"][hp_idx], feats,
                 conf_thres=conf_thres, iou_thres=iou_thres, max_det=max_det,
                 max_nms=max_nms, compute_dtype=dtype)
+            if lb_fn is not None:
+                # rescale detections back to source pixels (the host-side
+                # scale_coords role, general.py)
+                boxes = (boxes - jnp.asarray(
+                    [pad[0], pad[1], pad[0], pad[1]], jnp.float32)
+                ) / jnp.float32(ratio[0])
+                hs, ws = ingest_hw
+                boxes = jnp.clip(boxes, 0.0, jnp.asarray(
+                    [ws, hs, ws, hs], jnp.float32))
             return {"num_dets": num[:, None], "det_boxes": boxes,
                     "det_scores": scores, "det_classes": cls}
 
-        shape = jax.ShapeDtypeStruct((batch_size, img_size, img_size, 3),
-                                     jnp.uint8)
+        in_h, in_w = (ingest_hw if ingest_hw is not None
+                      else (img_size, img_size))
+        shape = jax.ShapeDtypeStruct((batch_size, in_h, in_w, 3), jnp.uint8)
         pshape = jax.tree_util.tree_map(
             lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), params)
         sshape = jax.tree_util.tree_map(
