@@ -196,3 +196,27 @@ def test_device_letterbox_matches_cv2(hw):
     # cv2 INTER_LINEAR fixed-point vs exact bilinear: edge-pixel envelope
     assert np.median(diff) <= 1.0
     assert (diff > 8).mean() < 0.02
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_separable_warp_matches_cv2(seed):
+    """scale+translate-only warp (the DEFAULT hyps: degrees=shear=
+    perspective=0) through the separable matmul path == cv2.warpAffine."""
+    import jax.numpy as jnp
+
+    s, cs = 128, 256
+    canvas = _structured_canvas(cs, seed)
+    rng = random.Random(seed)
+    M, sc, out_hw = DA.sample_perspective_params(
+        0.0, 0.1, 0.5, 0.0, 0.0, (-s // 2, -s // 2), (cs, cs), rng)
+    want = cv2.warpAffine(canvas, M[:2], dsize=(s, s),
+                          borderValue=(114, 114, 114))
+    aug = DA.make_device_augment(s, cs, separable=True)
+    got = aug(jnp.asarray(canvas[None]),
+              jnp.asarray(DA.invert_affine(M)[None]),
+              jnp.ones((1, 3), np.float32), np.zeros((1, 2), bool),
+              np.zeros((1,), np.int32), np.ones((1,), np.float32))
+    got = np.asarray(got[0])[..., ::-1] * 255.0
+    diff = np.abs(got.astype(np.float32) - want.astype(np.float32))
+    assert np.median(diff) <= 1.0
+    assert (diff > 8).mean() < 0.02, f"{(diff > 8).mean():.4f} px off by >8"

@@ -135,7 +135,8 @@ def _hsv_to_rgb_cv(h, s, v):
     return jnp.stack([r + m, g + m, b + m], axis=-1)
 
 
-def make_device_augment(img_size: int, canvas_size: int):
+def make_device_augment(img_size: int, canvas_size: int,
+                        separable: bool = False):
     """Build the jitted batched tail.
 
     fn(canvases (B, C, C, 3) uint8 BGR (cv2 order — the channel flip to
@@ -143,14 +144,34 @@ def make_device_augment(img_size: int, canvas_size: int):
        hsv_gains (B, 3) f32, flips (B, 2) bool [ud, lr],
        mix_idx (B,) i32 partner index, mix_w (B,) f32 blend weight)
       -> images (B, S, S, 3) float32 RGB in [0, 1]
+
+    separable=True: the warp has no rotation/shear/perspective (the
+    DEFAULT yolov7 hyps set degrees=shear=perspective=0), so it lowers to
+    jax.image.scale_and_translate — separable 1-D resampling matmuls that
+    run ~40x faster on TPU than per-pixel gathers. The caller asserts the
+    hyp precondition (data/datasets.py device_item).
     """
     import jax
     import jax.numpy as jnp
 
     s = img_size
 
-    def one(canvas, minv, gains):
-        # --- affine warp with bilinear sampling, border value 114
+    def warp_separable(canvas, minv):
+        # out->src: sx = a_x x + b_x, sy = a_y y + b_y. scale_and_translate
+        # maps in = (out - t)/sc  =>  sc = 1/a, t = -b/a. Border 114 via
+        # the (img - 114) shift: out-of-range taps contribute zero.
+        a_x, b_x = minv[0, 0], minv[0, 2]
+        a_y, b_y = minv[1, 1], minv[1, 2]
+        img = canvas.astype(jnp.float32) - 114.0
+        out = jax.image.scale_and_translate(
+            img, (s, s, 3), (0, 1),
+            jnp.stack([1.0 / a_y, 1.0 / a_x]),
+            jnp.stack([-b_y / a_y, -b_x / a_x]),
+            "linear", antialias=False)
+        return out + 114.0
+
+    def warp_gather(canvas, minv):
+        # general affine: bilinear sampling, border value 114
         yy, xx = jnp.meshgrid(jnp.arange(s, dtype=jnp.float32),
                               jnp.arange(s, dtype=jnp.float32), indexing="ij")
         sx = minv[0, 0] * xx + minv[0, 1] * yy + minv[0, 2]
@@ -173,9 +194,13 @@ def make_device_augment(img_size: int, canvas_size: int):
         w01 = fx * (1 - fy)
         w10 = (1 - fx) * fy
         w11 = fx * fy
-        out = (tap(y0, x0) * w00[..., None] + tap(y0, x0 + 1) * w01[..., None]
-               + tap(y0 + 1, x0) * w10[..., None]
-               + tap(y0 + 1, x0 + 1) * w11[..., None])
+        return (tap(y0, x0) * w00[..., None]
+                + tap(y0, x0 + 1) * w01[..., None]
+                + tap(y0 + 1, x0) * w10[..., None]
+                + tap(y0 + 1, x0 + 1) * w11[..., None])
+
+    def one(canvas, minv, gains):
+        out = (warp_separable if separable else warp_gather)(canvas, minv)
         out = jnp.clip(jnp.round(out), 0.0, 255.0)
 
         # --- HSV jitter (augment_hsv semantics: gains on H/S/V with H mod

@@ -283,8 +283,15 @@ def train(tc: TrainConfig, train_ds: Optional[DetectionDataset] = None,
                 if dev_aug_fn is None:
                     from yolo_series_tpu.data.device_aug import \
                         make_device_augment
+                    # default hyps have no rotation/shear/perspective -> the
+                    # warp is separable scale+translate (matmul path, ~40x
+                    # faster than the gather warp on TPU)
+                    sep = (hyp.get("degrees", 0) == 0
+                           and hyp.get("shear", 0) == 0
+                           and hyp.get("perspective", 0) == 0)
                     dev_aug_fn = make_device_augment(tc.img_size,
-                                                     2 * tc.img_size)
+                                                     2 * tc.img_size,
+                                                     separable=sep)
                 aug_imgs = [dev_aug_fn(
                     jnp.asarray(b["canvases"]), jnp.asarray(b["minv"]),
                     jnp.asarray(b["hsv"]), jnp.asarray(b["flips"]),
