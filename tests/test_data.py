@@ -112,6 +112,35 @@ def test_loader_contract(coco_tree):
     assert b["label_mask"].sum() > 0
 
 
+def test_loader_pool_survives_held_microbatches(tmp_path):
+    """Gradient accumulation holds `accumulate` batches before consuming;
+    the pooled buffers behind them must NOT be recycled by the prefetch
+    worker in the meantime (round-2 advisor finding: pool sized
+    prefetch+2 < held batches silently corrupted micro-batch images)."""
+    import sys
+    import time
+
+    sys.path.insert(0, "/root/repo")
+    from tools.bench_loader import make_synthetic_dataset
+
+    files = make_synthetic_dataset(tmp_path, 32, hw=(96, 128))
+    ds = DetectionDataset(files, img_size=96, batch_size=2, augment=False,
+                          cache_path=str(tmp_path / "c.npz"))
+    accumulate = 4
+    loader = create_loader(ds, batch_size=2, max_labels=32, shuffle=False,
+                           hold=accumulate)
+    held, snaps = [], []
+    for batch in loader:
+        held.append(batch)
+        snaps.append(batch["images"].copy())
+        if len(held) < accumulate:
+            continue
+        time.sleep(0.05)  # let the prefetch worker run fully ahead
+        for b, snap in zip(held, snaps):
+            np.testing.assert_array_equal(b["images"], snap)
+        held, snaps = [], []
+
+
 def test_loader_propagates_worker_errors(coco_tree):
     """A corrupt sample must fail the epoch loudly, not truncate it."""
     import pytest

@@ -177,6 +177,24 @@ def test_device_tail_loader_and_train_step(tmp_path):
     assert np.isfinite(float(metrics["total"]))
 
 
+def test_device_item_rejects_perspective(tmp_path):
+    """The device warp is affine-only; perspective hyps must fail loudly
+    instead of silently misaligning pixels vs (correct) labels."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from tools.bench_loader import make_synthetic_dataset
+    from yolo_series_tpu.data.datasets import DetectionDataset
+
+    files = make_synthetic_dataset(tmp_path, 4, hw=(96, 128))
+    hyp = dict(HYP, perspective=0.0005)
+    ds = DetectionDataset(files, img_size=96, batch_size=2, augment=True,
+                          hyp=hyp, device_tail=True,
+                          cache_path=str(tmp_path / "c.npz"))
+    with pytest.raises(ValueError, match="perspective"):
+        ds.device_item(0)
+
+
 @pytest.mark.parametrize("hw", [(480, 640), (720, 1280), (640, 640)])
 def test_device_letterbox_matches_cv2(hw):
     import jax.numpy as jnp
@@ -211,12 +229,22 @@ def test_separable_warp_matches_cv2(seed):
         0.0, 0.1, 0.5, 0.0, 0.0, (-s // 2, -s // 2), (cs, cs), rng)
     want = cv2.warpAffine(canvas, M[:2], dsize=(s, s),
                           borderValue=(114, 114, 114))
+    args = (jnp.asarray(canvas[None]),
+            jnp.asarray(DA.invert_affine(M)[None]),
+            jnp.ones((1, 3), np.float32), np.zeros((1, 2), bool),
+            np.zeros((1,), np.int32), np.ones((1,), np.float32))
     aug = DA.make_device_augment(s, cs, separable=True)
-    got = aug(jnp.asarray(canvas[None]),
-              jnp.asarray(DA.invert_affine(M)[None]),
-              jnp.ones((1, 3), np.float32), np.zeros((1, 2), bool),
-              np.zeros((1,), np.int32), np.ones((1,), np.float32))
-    got = np.asarray(got[0])[..., ::-1] * 255.0
+    got = np.asarray(aug(*args)[0])[..., ::-1] * 255.0
     diff = np.abs(got.astype(np.float32) - want.astype(np.float32))
     assert np.median(diff) <= 1.0
     assert (diff > 8).mean() < 0.02, f"{(diff > 8).mean():.4f} px off by >8"
+
+    # sub-pixel-alignment gate: the separable path must agree with the
+    # exact per-pixel gather warp almost everywhere — a systematic
+    # 0.5*(a-1) px offset (the scale_and_translate pixel-center
+    # convention, caught in round 2 review) fails this
+    exact = DA.make_device_augment(s, cs, separable=False)
+    ref = np.asarray(exact(*args)[0])[..., ::-1] * 255.0
+    dsep = np.abs(got.astype(np.float32) - ref.astype(np.float32))
+    assert dsep.mean() < 0.1, f"separable-vs-gather mean {dsep.mean():.3f}"
+    assert (dsep > 1).mean() < 1e-3

@@ -114,7 +114,9 @@ def random_perspective(img, targets=(), segments=(), degrees=10, translate=.1,
 
     R = np.eye(3)
     a = rng.uniform(-degrees, degrees)
-    s = rng.uniform(1 - scale, 1 + scale)
+    # upper bound is 1.1 + scale, NOT 1 + scale — an upstream quirk the
+    # training-data distribution depends on (datasets.py:1332)
+    s = rng.uniform(1 - scale, 1.1 + scale)
     R[:2] = cv2.getRotationMatrix2D(angle=a, center=(0, 0), scale=s)
 
     S = np.eye(3)

@@ -355,6 +355,14 @@ class DetectionDataset:
         import yolo_series_tpu.data.device_aug as DA
 
         hyp = self.hyp
+        if hyp.get("perspective", 0):
+            # the device warp paths are affine-only (invert_affine drops the
+            # projective row; warp_gather has no homogeneous divide) while
+            # warp_labels applies the full homography — pixels and labels
+            # would silently diverge. No shipped hyp sets perspective != 0.
+            raise ValueError(
+                "device-aug tail requires hyp['perspective'] == 0 "
+                "(affine-only device warp); use the host aug path")
         s = self.img_size
         if random.random() < hyp["mosaic"]:
             nine = random.random() >= 0.8
@@ -546,7 +554,8 @@ class create_loader:
 
     def __init__(self, dataset: DetectionDataset, batch_size=16,
                  shuffle=True, max_labels=256, drop_last=True, seed=0,
-                 prefetch=2, image_weights=False, class_weights=None):
+                 prefetch=2, image_weights=False, class_weights=None,
+                 hold=1):
         self.ds = dataset
         self.bs = batch_size
         self.shuffle = shuffle
@@ -557,6 +566,10 @@ class create_loader:
         self.prefetch = prefetch
         self.image_weights = image_weights
         self.class_weights = class_weights
+        # `hold` = max batches the consumer retains before consuming (e.g.
+        # gradient-accumulation micro-batches); sizes the buffer pool so the
+        # prefetch worker can never recycle a buffer the consumer still holds
+        self.hold = max(int(hold), 1)
         self._pools: dict = {}
         self._pool_pos: dict = {}
         _tune_malloc_for_buffers()
@@ -571,14 +584,16 @@ class create_loader:
         Fresh multi-MB allocations fault in pages at single-digit MB/s on
         ballooned VMs (measured: first touch of a 78 MB buffer ~10 s, warm
         reuse 25 ms), so the loader never allocates batch storage per
-        batch. Contract: a yielded batch's arrays are valid until
-        `prefetch + 2` further batches are produced — consume (device_put)
-        before iterating on, which the trainer does.
+        batch. Contract: a yielded batch's arrays are valid while the
+        consumer holds at most `hold` un-consumed batches; the pool is
+        sized `prefetch + hold + 2` (prefetch queued + 1 in-flight in the
+        worker, `hold` retained + 1 in-hand in the consumer) so the worker
+        can never recycle a buffer the consumer still references.
         """
         pool = self._pools.get(key)
         if pool is None or pool[0].shape != shape or pool[0].dtype != dtype:
             pool = []
-            for _ in range(self.prefetch + 2):
+            for _ in range(self.prefetch + self.hold + 2):
                 a = np.empty(shape, dtype)
                 a.fill(0)  # force page-in once, up front
                 pool.append(a)
@@ -617,14 +632,16 @@ class create_loader:
         hyp = self.ds.hyp
         for i in range(b):
             if b > 1 and _random.random() < hyp.get("mixup", 0.0):
-                j = _random.randrange(b)
-                if j != i:
-                    mix_idx[i] = j
-                    mix_w[i] = float(np.random.beta(8.0, 8.0))
-                    if len(items[j]["labels"]):
-                        lbs[i] = (np.concatenate(
-                            [lbs[i], items[j]["labels"]], 0)
-                            if len(lbs[i]) else items[j]["labels"])
+                # draw from the b-1 OTHER samples so the effective mixup
+                # probability is exactly hyp['mixup'] (the reference's
+                # second mosaic is always a distinct sample)
+                j = (i + 1 + _random.randrange(b - 1)) % b
+                mix_idx[i] = j
+                mix_w[i] = float(np.random.beta(8.0, 8.0))
+                if len(items[j]["labels"]):
+                    lbs[i] = (np.concatenate(
+                        [lbs[i], items[j]["labels"]], 0)
+                        if len(lbs[i]) else items[j]["labels"])
         labels, mask = pad_labels(lbs, self.max_labels)
         canvases = self._pooled(
             "canvases", (b,) + items[0]["canvas"].shape)

@@ -51,7 +51,9 @@ def sample_perspective_params(degrees, translate, scale, shear, perspective,
 
     R = np.eye(3)
     a = rng.uniform(-degrees, degrees)
-    s = rng.uniform(1 - scale, 1 + scale)
+    # upper bound is 1.1 + scale, NOT 1 + scale — an upstream quirk the
+    # training-data distribution depends on (datasets.py:1332)
+    s = rng.uniform(1 - scale, 1.1 + scale)
     # cv2.getRotationMatrix2D(angle=a, center=(0,0), scale=s):
     # [[s cos a, s sin a, 0], [-s sin a, s cos a, 0]]
     ca, sa = math.cos(math.radians(a)), math.sin(math.radians(a))
@@ -158,7 +160,10 @@ def make_device_augment(img_size: int, canvas_size: int,
 
     def warp_separable(canvas, minv):
         # out->src: sx = a_x x + b_x, sy = a_y y + b_y. scale_and_translate
-        # maps in = (out - t)/sc  =>  sc = 1/a, t = -b/a. Border 114 via
+        # samples input at in = (out + 0.5 - t)/sc - 0.5 (pixel-center
+        # convention), so sc = 1/a and t = (0.5*(a-1) - b)/a reproduces
+        # cv2.warpAffine's src = a*out + b exactly (t = -b/a alone leaves a
+        # systematic 0.5*(a-1) px shift vs the label math). Border 114 via
         # the (img - 114) shift: out-of-range taps contribute zero.
         a_x, b_x = minv[0, 0], minv[0, 2]
         a_y, b_y = minv[1, 1], minv[1, 2]
@@ -166,7 +171,8 @@ def make_device_augment(img_size: int, canvas_size: int,
         out = jax.image.scale_and_translate(
             img, (s, s, 3), (0, 1),
             jnp.stack([1.0 / a_y, 1.0 / a_x]),
-            jnp.stack([-b_y / a_y, -b_x / a_x]),
+            jnp.stack([(0.5 * (a_y - 1.0) - b_y) / a_y,
+                       (0.5 * (a_x - 1.0) - b_x) / a_x]),
             "linear", antialias=False)
         return out + 114.0
 

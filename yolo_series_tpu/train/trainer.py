@@ -240,7 +240,8 @@ def train(tc: TrainConfig, train_ds: Optional[DetectionDataset] = None,
 
     loader = create_loader(train_ds, batch_size=tc.batch_size,
                            max_labels=tc.max_labels, seed=tc.seed,
-                           image_weights=tc.image_weights)
+                           image_weights=tc.image_weights,
+                           hold=accumulate)
     nb = len(loader)
     warmup_steps = max(round(hyp["warmup_epochs"] * nb), tc.warmup_min_steps)
 
