@@ -92,9 +92,26 @@ def main():
         opt.conf_thres, opt.iou_thres, opt.save_json = 0.25, 0.45, False
         run_eval(opt)
     elif opt.task == "study":
-        for sz in range(256, 1536 + 128, 128):  # reference test.py:341-354
+        # img-size sweep -> study_{data}_{weights}.txt (10-col reference
+        # test() row format: P R mAP50 mAP 3xloss t_inf t_nms t_total) +
+        # speed-mAP plot (reference test.py:341-354, plots.py:240)
+        sizes = list(range(256, 1536 + 128, 128))
+        rows = []
+        for sz in sizes:
             res = run_eval(opt, img_size=sz)
+            t_inf = res["speed_ms"]["inference"]
+            t_nms = res["speed_ms"]["nms"]
+            rows.append([res["mp"], res["mr"], res["map50"], res["map"],
+                         0.0, 0.0, 0.0,  # val losses: not computed here
+                         t_inf, t_nms, t_inf + t_nms])
             print(f"study img={sz} map={res['map']:.4f}")
+        Path(opt.project).mkdir(parents=True, exist_ok=True)
+        fname = (Path(opt.project) / f"study_{Path(opt.data).stem}_"
+                 f"{Path(opt.weights).stem}.txt")
+        np.savetxt(fname, rows, fmt="%10.4g")
+        print(f"saved {fname}")
+        from yolo_series_tpu.obs.plots import plot_study_txt
+        plot_study_txt(path=opt.project)
     else:
         run_eval(opt)
 

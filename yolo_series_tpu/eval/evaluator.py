@@ -94,7 +94,10 @@ def evaluate(plan, params, state, loader, *,
         x = jnp.asarray(imgs, jnp.float32) / 255.0
         t0 = time.perf_counter()
         pred = forward(params, state, x)
-        pred.block_until_ready()
+        # fetch a small slice instead of block_until_ready: the axon relay
+        # does not reliably block (CLAUDE.md), so the speed report would
+        # otherwise be fiction on tunneled TPUs; bench.py times the same way
+        _ = np.asarray(pred[0, :1])
         t1 = time.perf_counter()
         out = batched_nms(pred, conf_thres=conf_thres, iou_thres=iou_thres,
                           multi_label=True, max_det=max_det, max_nms=max_nms)

@@ -168,6 +168,31 @@ def plot_results(results_rows: Sequence[dict], save_dir="."):
     plt.close(fig)
 
 
+def plot_study_txt(path=".", x=None, save_dir=None):
+    """Speed-vs-mAP curve from study_*.txt sweeps (reference
+    plots.py:240-270; rows are the 10-column test() output, columns
+    [0-3] = P/R/mAP50/mAP, [7-9] = inference/NMS/total ms per image)."""
+    save_dir = Path(save_dir if save_dir is not None else path)
+    files = sorted(Path(path).glob("study*.txt"))
+    if not files:
+        return None
+    fig, ax = plt.subplots(1, 1, figsize=(8, 4), tight_layout=True)
+    for f in files:
+        y = np.loadtxt(f, dtype=np.float32, usecols=[0, 1, 2, 3, 7, 8, 9],
+                       ndmin=2).T
+        j = int(y[3].argmax()) + 1
+        ax.plot(y[6, :j], y[3, :j] * 1e2, ".-", linewidth=2, markersize=8,
+                label=f.stem.replace("study_", ""))
+    ax.grid(alpha=0.2)
+    ax.set_xlabel("latency (ms/img)")
+    ax.set_ylabel("COCO AP val (%)")
+    ax.legend(fontsize=8)
+    out = save_dir / "study.png"
+    fig.savefig(out, dpi=200)
+    plt.close(fig)
+    return str(out)
+
+
 def plot_labels_histogram(labels: np.ndarray, nc: int, save_dir="."):
     """Class/box distribution panels (reference plots.py:272)."""
     fig, axes = plt.subplots(1, 3, figsize=(12, 4), tight_layout=True)

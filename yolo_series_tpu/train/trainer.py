@@ -360,7 +360,27 @@ def train(tc: TrainConfig, train_ds: Optional[DetectionDataset] = None,
         plot_results(results_rows, save_dir)
     except Exception as e:  # noqa: BLE001
         print(f"plot_results failed: {e}")
+
+    # train-end finish steps (reference train.py:494-531): final eval of the
+    # best checkpoint, then strip last/best to deploy form (ema -> params,
+    # optimizer dropped, fp16 — strip_optimizer, general.py:820-833)
+    final_results = None
+    best_path = save_dir / "weights" / "best.ckpt"
+    last_path = save_dir / "weights" / "last.ckpt"
+    if val_loader is not None and not tc.noval and best_path.exists():
+        blob = load_checkpoint(best_path)
+        final_results = evaluate(
+            plan, blob.get("ema_params") or blob["params"],
+            blob.get("ema_state") or blob["state"], val_loader(),
+            names=names, verbose=True)
+        print("final best.ckpt: "
+              + " ".join(f"{k}={final_results[k]:.4f}"
+                         for k in ("mp", "mr", "map50", "map")))
+    for p in (last_path, best_path):
+        if p.exists():
+            strip_checkpoint(p)
     logger.finish()
     (save_dir / "DONE").write_text("ok")  # resume scanner marker
     return {"best_fitness": best_fitness, "results": results_rows,
+            "final_results": final_results,
             "save_dir": str(save_dir), "train_state": ts, "plan": plan}
