@@ -84,8 +84,11 @@ def test_kill_and_scanner_relaunch(tmp_path):
         f"run not completed after relaunch:\n{r.stdout[-2000:]}\n"
         f"{r.stderr[-3000:]}")
     final = pickle.load(open(last, "rb"))
-    assert final["epoch"] == 3  # epochs=4 -> last epoch index 3
-    assert final["epoch"] > killed_epoch
+    # train-end strips last.ckpt to deploy form (reference strip_optimizer
+    # sets epoch=-1 and drops the optimizer, train.py:520-524)
+    assert final["epoch"] == -1
+    assert final["opt_state"] is None
+    assert killed_epoch >= 0  # the mid-run ckpt was NOT stripped (resumable)
     # trajectory continued in the SAME dir: results rows cover all epochs
     rows = [yaml.safe_load(l) for l in
             (run_dir / "results.jsonl").read_text().splitlines()]

@@ -39,6 +39,23 @@ from yolo_series_tpu.ops.boxes import bbox_iou, box_iou, xywh2xyxy
 K_OFFSETS = 5
 
 
+def _top_k_iter(x, k):
+    """Exact top-k along the last axis via k masked argmax passes.
+
+    lax.top_k lowers to a FULL sort on TPU (~1.9 ms each for the (M, C)
+    OTA cost matrices, profiled bs16@640); for k ~ 10-20, k max-reduces
+    are several times cheaper. Tie order matches lax.top_k (first index
+    wins, argmax semantics)."""
+    iota = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
+    vals, idxs = [], []
+    for _ in range(k):
+        i = jnp.argmax(x, axis=-1)
+        vals.append(jnp.take_along_axis(x, i[..., None], axis=-1)[..., 0])
+        idxs.append(i)
+        x = jnp.where(iota == i[..., None], -jnp.inf, x)
+    return jnp.stack(vals, -1), jnp.stack(idxs, -1)
+
+
 def _assign_single(raw_img: Sequence[jnp.ndarray], labels, label_mask,
                    grids, anchors, strides, hyp: LossHyp, img_size, g, topk,
                    codec=None):
@@ -83,7 +100,7 @@ def _assign_single(raw_img: Sequence[jnp.ndarray], labels, label_mask,
     iou_cost = -jnp.log(pair_iou + 1e-8)
 
     topk_eff = min(topk, c_total)
-    top_iou = jax.lax.top_k(pair_iou, topk_eff)[0]
+    top_iou = _top_k_iter(pair_iou, topk_eff)[0]
     dyn_k = jnp.clip(jnp.sum(top_iou, -1).astype(jnp.int32), 1, None)
 
     obj_idx = 4 if codec is None else codec["obj_idx"]
@@ -99,7 +116,7 @@ def _assign_single(raw_img: Sequence[jnp.ndarray], labels, label_mask,
     cost = cls_cost + 3.0 * iou_cost
     cost = jnp.where(gt_valid[:, None] & v_all[None, :], cost, big)
 
-    neg_top, top_idx = jax.lax.top_k(-cost, topk_eff)
+    neg_top, top_idx = _top_k_iter(-cost, topk_eff)
     rank_ok = (jax.lax.broadcasted_iota(jnp.int32, (m, topk_eff), 1)
                < dyn_k[:, None]) & (-neg_top < big * 0.5)
     matching = jnp.zeros((m, c_total), bool)

@@ -99,6 +99,164 @@ def _pair_matches(plan, params, i):
             and i not in plan.save)
 
 
+def _phase_w4(w0):
+    """(3,3,C,c0) original k3 weights -> (4,4,C,4*c0) phase kernel, as a
+    traced (differentiable) op: gradients flow back to w0, so training in
+    phase space is SGD-equivalent to the standard stem."""
+    c_in, c0 = w0.shape[2], w0.shape[3]
+    w4 = jnp.zeros((4, 4, c_in, 4, c0), w0.dtype)
+    for pi, (a, b) in enumerate(_PHASES):
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                w4 = w4.at[a + dy + 1, b + dx + 1, :, pi, :].set(w0[dy + 1, dx + 1])
+    return w4.reshape(4, 4, c_in, 4 * c0)
+
+
+def _phase_w2(w1):
+    """(3,3,c0,c1) -> (2,2,4*c0,c1) phase-consuming kernel (traced)."""
+    c0, c1 = w1.shape[2], w1.shape[3]
+    w2 = jnp.zeros((2, 2, 4, c0, c1), w1.dtype)
+    for ci, (c, d) in enumerate(_PHASES):
+        for r in range(2):
+            for s in range(2):
+                dy = 2 * r + c - 2
+                dx = 2 * s + d - 2
+                if -1 <= dy <= 1 and -1 <= dx <= 1:
+                    w2 = w2.at[r, s, ci, :, :].set(w1[dy + 1, dx + 1])
+    return w2.reshape(2, 2, 4 * c0, c1)
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainPhasedConvA(Block):
+    """Training-time phase-folded k3/s1 ConvBnAct (the pair's first conv).
+
+    Params/state keep the ORIGINAL ConvBnAct shapes ({w (3,3,c1,c2), bn},
+    bn state (c2,)) so checkpoints, EMA, optimizer groups and the torch
+    exporter are untouched; only the computation changes: the k4/s2 phase
+    conv emits all 4 output phases channel-stacked (c2 -> 4*c2, full
+    128-lane tiles instead of the lane-starved 640px x 32ch map — profiled
+    at ~180 GB/s, 22% of HBM peak, in the standard form). BN statistics
+    aggregate over the phase axis, which IS the original spatial reduce."""
+
+    c1: int
+    c2: int
+    act: Any = True
+
+    @property
+    def cout(self):
+        return 4 * self.c2
+
+    stride_factor = 2.0
+
+    def init(self, key):
+        return ConvBnAct(self.c1, self.c2, 3, 1, None, 1, self.act).init(key)
+
+    def apply(self, params, state, x, ctx):
+        from yolo_series_tpu.models.layers import BN_EPS, BN_MOMENTUM
+
+        w4 = _phase_w4(params["w"])
+        y = conv2d(x, w4, 2, ((1, 1), (1, 1)), 1, ctx.dtype)
+        bnp, bns = params["bn"], state["bn"]
+        if ctx.training:
+            yf = y.astype(jnp.float32)
+            b_, h_, w_, _ = y.shape
+            c2 = self.c2
+            m0 = jax.lax.stop_gradient(jnp.tile(bns["mean"], 4))
+            yc = yf - m0
+            r = yc.reshape(b_, h_, w_, 4, c2)
+            mc = jnp.mean(r, axis=(0, 1, 2, 3))
+            msq = jnp.mean(jnp.square(r), axis=(0, 1, 2, 3))
+            if ctx.axis_name is not None:
+                mc = jax.lax.pmean(mc, ctx.axis_name)
+                msq = jax.lax.pmean(msq, ctx.axis_name)
+            mean = bns["mean"] + mc
+            var = jnp.maximum(msq - jnp.square(mc), 0.0)
+            n = b_ * h_ * w_ * 4
+            if ctx.axis_name is not None:
+                n = n * jax.lax.psum(1, ctx.axis_name)
+            unbiased = var * (n / max(n - 1, 1))
+            new_bns = {"mean": (1 - BN_MOMENTUM) * bns["mean"] + BN_MOMENTUM * mean,
+                       "var": (1 - BN_MOMENTUM) * bns["var"] + BN_MOMENTUM * unbiased}
+        else:
+            mean, var = bns["mean"], bns["var"]
+            new_bns = bns
+        inv = jax.lax.rsqrt(var + BN_EPS) * bnp["scale"]
+        # tiled (4*c2) scale/shift: full-lane elementwise in phase layout
+        yn = (y.astype(jnp.float32) - jnp.tile(mean, 4)) * jnp.tile(inv, 4) \
+            + jnp.tile(bnp["bias"], 4)
+        _, fn = get_activation(self.act)
+        return fn(yn).astype(y.dtype), {"bn": new_bns}
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainPhasedConvB(Block):
+    """Training-time phase-consuming k3/s2 ConvBnAct (the pair's second
+    conv): k2/s1 conv over the phase layout with asymmetric (1,0) padding,
+    emitting the standard stride-2 map. Params/state = original ConvBnAct."""
+
+    c1: int
+    c2: int
+    act: Any = True
+
+    @property
+    def cout(self):
+        return self.c2
+
+    stride_factor = 1.0
+
+    def init(self, key):
+        return ConvBnAct(self.c1, self.c2, 3, 2, None, 1, self.act).init(key)
+
+    def apply(self, params, state, x, ctx):
+        from yolo_series_tpu.models.layers import batch_norm
+
+        w2 = _phase_w2(params["w"])
+        y = conv2d(x, w2, 1, ((1, 0), (1, 0)), 1, ctx.dtype)
+        y, new_bns = batch_norm(params["bn"], state["bn"], y, ctx)
+        _, fn = get_activation(self.act)
+        return fn(y), {"bn": new_bns}
+
+
+def _train_pair_matches(plan, i):
+    layers = plan.layers
+    if i + 1 >= len(layers) or layers[i].is_head or layers[i + 1].is_head:
+        return False
+    l0, l1 = layers[i].block, layers[i + 1].block
+    return (isinstance(l0, ConvBnAct) and isinstance(l1, ConvBnAct)
+            and l0.k == 3 and l0.s == 1 and l1.k == 3 and l1.s == 2
+            and l0.g == 1 and l1.g == 1 and l0.p is None and l1.p is None
+            and layers[i].n_seq == 1 and layers[i + 1].n_seq == 1
+            and layers[i].frm == -1 and layers[i + 1].frm == -1
+            and i not in plan.save)
+
+
+def make_train_fast_stem(plan: GraphPlan, max_pairs: int = 2) -> GraphPlan:
+    """Rewrite up to `max_pairs` (k3/s1, k3/s2) ConvBnAct pairs from layer 0
+    into phase-space TRAINING blocks. Params/state trees are unchanged —
+    only the plan differs — so this composes with checkpoints, EMA and the
+    optimizer transparently. Returns the plan unchanged if nothing matches
+    (P6 stems start with ReOrg)."""
+    new_layers = list(plan.layers)
+    folded = 0
+    i = 0
+    while i + 1 < len(new_layers) and folded < max_pairs:
+        probe = dataclasses.replace(plan, layers=tuple(new_layers))
+        if not _train_pair_matches(probe, i):
+            i += 1
+            continue
+        l0, l1 = new_layers[i].block, new_layers[i + 1].block
+        new_layers[i] = dataclasses.replace(
+            new_layers[i], block=TrainPhasedConvA(l0.c1, l0.c2, l0.act),
+            cout=4 * l0.c2, stride=new_layers[i].stride * 2)
+        new_layers[i + 1] = dataclasses.replace(
+            new_layers[i + 1], block=TrainPhasedConvB(4 * l0.c2, l1.c2, l1.act))
+        folded += 1
+        i += 2
+    if folded == 0:
+        return plan
+    return dataclasses.replace(plan, layers=tuple(new_layers))
+
+
 def make_fast_stem(plan: GraphPlan, params, state, max_pairs: int = 1):
     """Fold up to `max_pairs` consecutive (k3/s1, k3/s2) conv pairs into
     phase space, scanning from layer 0. Returns the inputs unchanged when

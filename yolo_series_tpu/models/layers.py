@@ -137,15 +137,35 @@ def batch_norm(bn_params, bn_state, x, ctx: Ctx):
     scale, bias = bn_params["scale"], bn_params["bias"]
     if ctx.training:
         xf = x.astype(jnp.float32)
-        mean = jnp.mean(xf, axis=(0, 1, 2))
-        if ctx.axis_name is not None:
-            mean = jax.lax.pmean(mean, ctx.axis_name)
-        # two-pass variance: E[(x-mu)^2], not E[x^2]-mu^2 — the latter's
-        # cancellation amplifies partitioned-reduction rounding into real
-        # sharded-vs-unsharded divergence (and is less accurate generally)
-        var = jnp.mean(jnp.square(xf - mean), axis=(0, 1, 2))
-        if ctx.axis_name is not None:
-            var = jax.lax.pmean(var, ctx.axis_name)
+        # shifted one-pass moments: center on the RUNNING mean (a known
+        # constant), so sum(xc) and sum(xc^2) compute in a single fused HBM
+        # read of x. Plain E[x^2]-mu^2 is ill-conditioned (cancellation
+        # amplifies partitioned-reduction rounding into sharded-vs-unsharded
+        # divergence); with the shift, E[xc] ~ 0 and the correction term
+        # E[xc]^2 is tiny, matching two-pass accuracy. Two-pass (profiled,
+        # bs16@640 yolov7) cost ~35 ms/step re-reading hi-res activations
+        # for the variance pass.
+        if x.shape[-1] >= 64:
+            m0 = jax.lax.stop_gradient(bn_state["mean"])
+            xc = xf - m0
+            mc = jnp.mean(xc, axis=(0, 1, 2))
+            msq = jnp.mean(jnp.square(xc), axis=(0, 1, 2))
+            if ctx.axis_name is not None:
+                mc = jax.lax.pmean(mc, ctx.axis_name)
+                msq = jax.lax.pmean(msq, ctx.axis_name)
+            mean = m0 + mc
+            var = jnp.maximum(msq - jnp.square(mc), 0.0)
+        else:
+            # narrow layers (< half a 128-lane tile, i.e. the hi-res stem
+            # conv): the fused two-output reduce forces a LAYOUT copy of the
+            # huge activation (~3.5 ms each way at 640x640x32, profiled),
+            # which costs more than the second read — keep two-pass there
+            mean = jnp.mean(xf, axis=(0, 1, 2))
+            if ctx.axis_name is not None:
+                mean = jax.lax.pmean(mean, ctx.axis_name)
+            var = jnp.mean(jnp.square(xf - mean), axis=(0, 1, 2))
+            if ctx.axis_name is not None:
+                var = jax.lax.pmean(var, ctx.axis_name)
         n = x.shape[0] * x.shape[1] * x.shape[2]
         if ctx.axis_name is not None:
             n = n * jax.lax.psum(1, ctx.axis_name)
@@ -182,8 +202,50 @@ def conv2d(x, w, stride=1, padding=0, groups=1, dtype=None):
     )
 
 
+import functools as _functools
+
+
+@_functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _max_pool_tiled(x, k):
+    """Non-overlapping k x k / stride-k max pool via reshape.
+
+    XLA lowers the generic reduce_window gradient to select_and_scatter,
+    a serial scatter that profiled at 11.3 ms/step on TPU v5e (bs16@640
+    yolov7). For the non-overlapping case each input belongs to exactly
+    one window, so the backward is a pure elementwise mask (ties split
+    equally — a valid subgradient; float conv activations tie with
+    probability ~0)."""
+    N, H, W, C = x.shape
+    xr = x.reshape(N, H // k, k, W // k, k, C)
+    return xr.max(axis=(2, 4))
+
+
+def _max_pool_tiled_fwd(x, k):
+    N, H, W, C = x.shape
+    xr = x.reshape(N, H // k, k, W // k, k, C)
+    m = xr.max(axis=(2, 4))
+    return m, (xr, m)
+
+
+def _max_pool_tiled_bwd(k, res, g):
+    xr, m = res
+    mask = (xr == m[:, :, None, :, None, :])
+    cnt = mask.sum(axis=(2, 4), keepdims=True)
+    gr = jnp.where(mask, (g / cnt.squeeze((2, 4)))[:, :, None, :, None, :],
+                   jnp.zeros((), xr.dtype))
+    N, Ho, _, Wo, _, C = xr.shape
+    return (gr.reshape(N, Ho * k, Wo * k, C),)
+
+
+_max_pool_tiled.defvjp(_max_pool_tiled_fwd, _max_pool_tiled_bwd)
+
+
 def max_pool(x, k, s, padding):
     """Max pool NHWC; padding int -> symmetric -inf pad (torch semantics)."""
+    if (s == k and padding == 0 and x.ndim == 4
+            and x.shape[1] % k == 0 and x.shape[2] % k == 0
+            and jnp.issubdtype(x.dtype, jnp.floating)):
+        return _max_pool_tiled(x, k)
     if isinstance(padding, int):
         pad = [(0, 0), (padding, padding), (padding, padding), (0, 0)]
     else:
@@ -191,6 +253,26 @@ def max_pool(x, k, s, padding):
     return jax.lax.reduce_window(
         x, -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min,
         jax.lax.max, (1, k, k, 1), (1, s, s, 1), pad)
+
+
+def max_pool_pyramid(x, ks: Sequence[int]):
+    """Stride-1 SAME max pools for increasing odd kernels, CHAINED where
+    possible: pooling a k1-pooled map with kernel kc gives the
+    (k1 + kc - 1) pool exactly (max is associative over window unions), so
+    (5, 9, 13) costs three 5x5 pools instead of 25+81+169 windows — and the
+    composed gradient routes to the same (a.s. unique) argmax, so training
+    matches the parallel form. Matches reference SPP/SPPCSPC semantics
+    (common.py:201, :274)."""
+    outs = []
+    prev, prev_k = x, 1
+    for k in ks:
+        kc = k - prev_k + 1
+        if kc < 1 or kc % 2 == 0:  # non-chainable sequence: pool from x
+            prev, prev_k = max_pool(x, k, 1, k // 2), k
+        else:
+            prev, prev_k = max_pool(prev, kc, 1, kc // 2), k
+        outs.append(prev)
+    return outs
 
 
 # ---------------------------------------------------------------------------
@@ -729,7 +811,7 @@ class SPP(Composite):
     def apply(self, params, state, x, ctx):
         call, ns = self._run(params, state, ctx)
         x = call("cv1", x)
-        pools = [max_pool(x, k, 1, k // 2) for k in self.k]
+        pools = max_pool_pyramid(x, self.k)
         return call("cv2", jnp.concatenate([x] + pools, -1)), ns
 
 
@@ -792,7 +874,7 @@ class SPPCSPC(Composite):
     def apply(self, params, state, x, ctx):
         call, ns = self._run(params, state, ctx)
         x1 = call("cv4", call("cv3", call("cv1", x)))
-        pools = [max_pool(x1, k, 1, k // 2) for k in self.k]
+        pools = max_pool_pyramid(x1, self.k)
         y1 = call("cv6", call("cv5", jnp.concatenate([x1] + pools, -1)))
         y2 = call("cv2", x)
         return call("cv7", jnp.concatenate([y1, y2], -1)), ns

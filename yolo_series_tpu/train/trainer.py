@@ -78,6 +78,8 @@ class TrainConfig:
     image_weights: bool = False   # class-weighted epoch resampling
     device_aug: bool = False      # warp/HSV/flip/mixup on-device
     cache_images: bool = False    # RAM-cache decoded images (train --cache)
+    fast_stem: bool = True        # phase-folded stem in the train step
+    # (SGD-equivalent weight reshuffle, models/faststem.make_train_fast_stem)
 
 
 def _scaled_loss_hyp(hyp: dict, nl: int, nc: int, img_size: int,
@@ -220,6 +222,16 @@ def train(tc: TrainConfig, train_ds: Optional[DetectionDataset] = None,
     if mesh is not None:
         ts = jax.device_put(ts, replicated(mesh))
 
+    # phase-folded stem for the TRAIN STEP only (models/faststem.py
+    # make_train_fast_stem): same params/state trees, SGD-equivalent
+    # gradients, ~full-lane layouts for the hi-res stem tensors (the
+    # standard 640px x 32/64ch maps run at ~22% of HBM peak). Checkpoints,
+    # eval and autoanchor keep the original plan.
+    step_plan = plan
+    if tc.fast_stem:
+        from yolo_series_tpu.models.faststem import make_train_fast_stem
+        step_plan = make_train_fast_stem(plan)
+
     gs = int(max(head.strides))
     if tc.multi_scale:
         # size buckets at ±25% rounded to the max stride; one compiled step
@@ -228,12 +240,12 @@ def train(tc: TrainConfig, train_ds: Optional[DetectionDataset] = None,
         sizes = sorted({int(round(tc.img_size * s / gs)) * gs
                         for s in (0.75, 1.0, 1.25)})
         step_fns = {sz: make_train_step(
-            plan, loss_fn, opt_cfg, mesh=mesh, accumulate=accumulate,
+            step_plan, loss_fn, opt_cfg, mesh=mesh, accumulate=accumulate,
             compute_dtype=tc.compute_dtype, freeze=tc.freeze,
             resize_to=sz) for sz in sizes}
         size_rng = np.random.default_rng(tc.seed + 777)
     else:
-        step_fn = make_train_step(plan, loss_fn, opt_cfg, mesh=mesh,
+        step_fn = make_train_step(step_plan, loss_fn, opt_cfg, mesh=mesh,
                                   accumulate=accumulate,
                                   compute_dtype=tc.compute_dtype,
                                   freeze=tc.freeze)
