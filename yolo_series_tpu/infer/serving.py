@@ -37,7 +37,7 @@ class ServingEngine:
     def __init__(self, plan, params, state, *, batch_size=8, img_size=640,
                  conf_thres=0.25, iou_thres=0.45, max_det=100,
                  dtype=jnp.bfloat16, max_nms=1024, fast_stem=True,
-                 ingest_hw: Optional[tuple] = None):
+                 ingest_hw: Optional[tuple] = None, pack_output=False):
         """ingest_hw=(h, w): accept RAW camera-shaped uint8 frames and
         letterbox ON DEVICE (data/device_aug.make_device_letterbox) —
         camera bytes to detections in one program; detections are
@@ -89,6 +89,14 @@ class ServingEngine:
                 hs, ws = ingest_hw
                 boxes = jnp.clip(boxes, 0.0, jnp.asarray(
                     [ws, hs, ws, hs], jnp.float32))
+            if pack_output:
+                # one flat f32 row per image -> ONE device->host fetch per
+                # batch (each separate fetch pays a full relay/grpc round
+                # trip; 4 arrays = 4 RTTs). Unpack with `unpack()`.
+                return jnp.concatenate(
+                    [num[:, None].astype(jnp.float32), scores,
+                     cls.astype(jnp.float32),
+                     boxes.reshape(boxes.shape[0], -1)], axis=1)
             return {"num_dets": num[:, None], "det_boxes": boxes,
                     "det_scores": scores, "det_classes": cls}
 
@@ -102,17 +110,35 @@ class ServingEngine:
         self._exe = jax.jit(end2end).lower(pshape, sshape, shape).compile()
         self._params = params
         self._state = state
+        self.pack_output = pack_output
+
+    def unpack(self, packed: np.ndarray) -> Dict[str, np.ndarray]:
+        """Inverse of the pack_output row layout."""
+        md = self.max_det
+        return {"num_dets": packed[:, :1].astype(np.int32),
+                "det_scores": packed[:, 1:1 + md],
+                "det_classes": packed[:, 1 + md:1 + 2 * md].astype(np.int32),
+                "det_boxes": packed[:, 1 + 2 * md:].reshape(len(packed), md, 4)}
 
     def infer(self, images: np.ndarray) -> Dict[str, np.ndarray]:
         """images: (n<=B, H, W, 3) uint8 RGB, already letterboxed to
         img_size. Partial batches are padded and trimmed."""
+        out, n = self.infer_async(images)
+        if self.pack_output:
+            return {k: v[:n] for k, v in self.unpack(np.asarray(out)).items()}
+        return {k: np.asarray(v)[:n] for k, v in out.items()}
+
+    def infer_async(self, images: np.ndarray):
+        """Dispatch without materializing: returns ({name: device_array}, n).
+        Lets a pipeline keep several batches in flight so device->host
+        transfer latency (35 ms relay RTT on tunneled dev chips; PCIe/grpc
+        hops in production) overlaps the next batch's compute."""
         n = images.shape[0]
         assert n <= self.batch_size
         if n < self.batch_size:
             pad = np.zeros((self.batch_size - n, *images.shape[1:]), images.dtype)
             images = np.concatenate([images, pad], 0)
-        out = self._exe(self._params, self._state, jnp.asarray(images))
-        return {k: np.asarray(v)[:n] for k, v in out.items()}
+        return self._exe(self._params, self._state, jnp.asarray(images)), n
 
     def warmup(self, iters=3):
         x = np.zeros((self.batch_size, self.img_size, self.img_size, 3), np.uint8)
@@ -123,15 +149,35 @@ class ServingEngine:
 class DynamicBatcher:
     """Queue-based micro-batching front end (Triton dynamic_batching
     equivalent). Call submit(image) from any thread; result is a Future-like
-    handle."""
+    handle.
 
-    def __init__(self, engine: ServingEngine, max_delay_ms: float = 5.0):
+    Pipelined like Triton's multiple in-flight executions: the batching
+    thread DISPATCHES (infer_async) and a completion thread materializes
+    results, so device->host latency (35 ms relay RTT on tunneled dev
+    chips) overlaps the next batch's compute instead of serializing with
+    it. `inflight` bounds queued executions (backpressure)."""
+
+    def __init__(self, engine: ServingEngine, max_delay_ms: float = 5.0,
+                 inflight: int = 3, stage_fn=None, completers: int = 2):
         self.engine = engine
         self.max_delay = max_delay_ms / 1e3
+        # stage_fn(frames) -> batch array; default host np.stack. Benchmarks
+        # use it to substitute pre-staged device batches (tools/bench_serving
+        # --prestaged: measures the serving stack minus the input link)
+        self.stage_fn = stage_fn
         self.q: queue_mod.Queue = queue_mod.Queue()
+        self._done: queue_mod.Queue = queue_mod.Queue(maxsize=max(inflight, 1))
         self._stop = False
         self.worker = threading.Thread(target=self._loop, daemon=True)
+        # >1 completer overlaps device->host fetches of consecutive batches
+        # (each fetch pays a full transport round trip; the relay/grpc link
+        # multiplexes concurrent reads)
+        self.completer_pool = [
+            threading.Thread(target=self._complete, daemon=True)
+            for _ in range(max(completers, 1))]
         self.worker.start()
+        for t in self.completer_pool:
+            t.start()
 
     def submit(self, image: np.ndarray):
         ev = threading.Event()
@@ -159,10 +205,24 @@ class DynamicBatcher:
                         0.0, deadline - time.perf_counter())))
                 except queue_mod.Empty:
                     break
-            images = np.stack([b["image"] for b in batch])
-            out = self.engine.infer(images)
+            frames = [b["image"] for b in batch]
+            images = (self.stage_fn(frames) if self.stage_fn is not None
+                      else np.stack(frames))
+            out, _n = self.engine.infer_async(images)
+            self._done.put((batch, out))  # blocks at `inflight` pending
+
+    def _complete(self):
+        while not self._stop:
+            try:
+                batch, out = self._done.get(timeout=0.1)
+            except queue_mod.Empty:
+                continue
+            if getattr(self.engine, "pack_output", False):
+                host = self.engine.unpack(np.asarray(out))
+            else:
+                host = {k: np.asarray(v) for k, v in out.items()}
             for i, b in enumerate(batch):
-                b["result"] = {k: v[i] for k, v in out.items()}
+                b["result"] = {k: v[i] for k, v in host.items()}
                 b["event"].set()
 
     def close(self):
