@@ -153,11 +153,14 @@ def test_device_tail_loader_and_train_step(tmp_path):
     assert ds.device_tail
     loader = create_loader(ds, batch_size=4, shuffle=True, max_labels=64)
     batch = next(iter(loader))
-    assert batch["canvases"].shape == (4, 2 * img, 2 * img, 3)
+    assert "canvases" not in batch  # pixels ship exactly once, as tiles
+    assert batch["tiles"].shape == (4, 4, img, img, 3)
+    assert batch["origins"].shape == (4, 4, 2)
     assert batch["minv"].shape == (4, 2, 3)
 
-    aug = DA.make_device_augment(img, 2 * img)
-    imgs = aug(jnp.asarray(batch["canvases"]), jnp.asarray(batch["minv"]),
+    aug = DA.make_device_augment(img, 2 * img, mosaic=True)
+    imgs = aug(jnp.asarray(batch["tiles"]), jnp.asarray(batch["origins"]),
+               jnp.asarray(batch["centers"]), jnp.asarray(batch["minv"]),
                jnp.asarray(batch["hsv"]), jnp.asarray(batch["flips"]),
                jnp.asarray(batch["mix_idx"]), jnp.asarray(batch["mix_w"]))
     arr = np.asarray(imgs)
@@ -175,6 +178,88 @@ def test_device_tail_loader_and_train_step(tmp_path):
     ts2, metrics = step(ts, imgs, jnp.asarray(batch["labels"]),
                         jnp.asarray(batch["label_mask"]), lr_groups, mom)
     assert np.isfinite(float(metrics["total"]))
+
+
+@pytest.mark.parametrize("trial", [0, 1, 2, 3])
+def test_device_mosaic_compose_matches_cv2(trial):
+    """Device 4-tile compose (scale_and_translate placement + quadrant
+    select) must be PIXEL-EXACT vs augment.mosaic4's cv2 slicing, and the
+    shared geometry must reproduce its label shifts (reference
+    load_mosaic, datasets.py:1001-1064)."""
+    import jax.numpy as jnp
+
+    s = 64
+    rng = np.random.default_rng(trial)
+    imgs, lbs, hw = [], [], []
+    for _ in range(4):
+        h, w = int(rng.integers(20, s + 1)), int(rng.integers(20, s + 1))
+        imgs.append(rng.integers(0, 255, (h, w, 3), np.uint8))
+        hw.append((h, w))
+        n = int(rng.integers(0, 4))
+        lb = np.zeros((n, 5), np.float32)
+        if n:
+            lb[:, 1] = rng.uniform(0, w - 5, n)
+            lb[:, 3] = lb[:, 1] + 4
+            lb[:, 2] = rng.uniform(0, h - 5, n)
+            lb[:, 4] = lb[:, 2] + 4
+        lbs.append(lb)
+    r1, r2 = random.Random(trial), random.Random(trial)
+    want_canvas, want_labels = A.mosaic4(
+        [i.copy() for i in imgs], [l.copy() for l in lbs], s, r1)
+    yc = int(r2.uniform(s // 2, 2 * s - s // 2))
+    xc = int(r2.uniform(s // 2, 2 * s - s // 2))
+    origins, pads = DA.mosaic4_geometry(hw, s, yc, xc)
+    tiles = np.full((4, s, s, 3), 114, np.uint8)
+    for i, (h, w) in enumerate(hw):
+        tiles[i, :h, :w] = imgs[i]
+    fn = DA.make_mosaic_compose(s)
+    got = np.asarray(fn(jnp.asarray(tiles[None]), jnp.asarray(origins[None]),
+                        jnp.asarray(np.array([[yc, xc]], np.float32))))[0]
+    np.testing.assert_array_equal(got, want_canvas)
+    out = []
+    for i in range(4):
+        if len(lbs[i]):
+            lb = lbs[i].copy()
+            lb[:, [1, 3]] += pads[i][0]
+            lb[:, [2, 4]] += pads[i][1]
+            out.append(lb)
+    got_lb = np.concatenate(out, 0) if out else np.zeros((0, 5), np.float32)
+    if len(got_lb):
+        got_lb[:, 1:5] = got_lb[:, 1:5].clip(0, 2 * s)
+    np.testing.assert_allclose(got_lb, want_labels, atol=1e-5)
+
+
+def test_compose_quadrant_and_single_tile_forms():
+    """The two non-mosaic riders of the tile composer: a host canvas split
+    into its 4 quadrants composes back EXACTLY, and a single (s, s)
+    letterbox tile with degenerate partners reproduces the centered 2s
+    embed (data/datasets.py device_item)."""
+    import jax.numpy as jnp
+
+    s = 48
+    rng = np.random.default_rng(0)
+    fn = DA.make_mosaic_compose(s)
+
+    canvas = rng.integers(0, 255, (2 * s, 2 * s, 3), np.uint8)
+    tiles = np.stack([canvas[:s, :s], canvas[:s, s:],
+                      canvas[s:, :s], canvas[s:, s:]])
+    origins = np.array([[0, 0], [0, s], [s, 0], [s, s]], np.float32)
+    got = np.asarray(fn(jnp.asarray(tiles[None]), jnp.asarray(origins[None]),
+                        jnp.asarray(np.array([[s, s]], np.float32))))[0]
+    np.testing.assert_array_equal(got, canvas)
+
+    base = rng.integers(0, 255, (s, s, 3), np.uint8)
+    t1 = np.full((4, s, s, 3), 114, np.uint8)
+    t1[0] = base
+    off = s // 2
+    o1, _ = DA.mosaic4_geometry([(s, s), (0, 0), (0, 0), (0, 0)], s,
+                                off + s, off + s)
+    got1 = np.asarray(fn(jnp.asarray(t1[None]), jnp.asarray(o1[None]),
+                         jnp.asarray(np.array([[off + s, off + s]],
+                                              np.float32))))[0]
+    want1 = np.full((2 * s, 2 * s, 3), 114, np.uint8)
+    want1[off:off + s, off:off + s] = base
+    np.testing.assert_array_equal(got1, want1)
 
 
 def test_device_item_rejects_perspective(tmp_path):

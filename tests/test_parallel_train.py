@@ -264,3 +264,42 @@ def test_fused_serving_sharded_equals_single_device():
     for a, b in zip(want, got):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-4)
+
+
+def test_multiscale_resize_preserves_label_geometry():
+    """The bucketed multi-scale rescale (train/step.py resize_to — the
+    static-shape replacement for the reference's per-batch ±50%
+    interpolate, train.py:360-365) must keep NORMALIZED labels aligned:
+    objects stay at the same normalized box through the resize (no crop,
+    no shift, no convention mismatch). Trusted-comment -> tested claim
+    (round-2 review Weak #8)."""
+    import jax
+
+    # a sharp rectangle at known normalized coords survives the resize at
+    # the same normalized coords (within one destination pixel)
+    src, dst = 160, 192
+    box = (0.25, 0.40, 0.60, 0.80)  # normalized x1 y1 x2 y2
+    img = np.zeros((1, src, src, 3), np.float32)
+    x1, y1, x2, y2 = (int(round(v * src)) for v in box)
+    img[:, y1:y2, x1:x2] = 1.0
+    out = np.asarray(jax.image.resize(
+        jnp.asarray(img), (1, dst, dst, 3), method="bilinear"))
+    ys, xs = np.where(out[0, :, :, 0] > 0.5)
+    got = (xs.min() / dst, ys.min() / dst,
+           (xs.max() + 1) / dst, (ys.max() + 1) / dst)
+    np.testing.assert_allclose(got, (x1 / src, y1 / src, x2 / src, y2 / src),
+                               atol=1.0 / dst + 1e-6)
+
+    # sub-pixel: a linear ramp resamples to the same normalized field
+    # (bilinear of a linear function is exact away from the border)
+    ramp = np.broadcast_to(
+        np.linspace(0.0, 1.0, src, dtype=np.float32)[None, None, :, None],
+        (1, src, src, 3)).copy()
+    rout = np.asarray(jax.image.resize(
+        jnp.asarray(ramp), (1, dst, dst, 3), method="bilinear"))
+    # compare at interior pixels against the exact linear map
+    interior = slice(4, dst - 4)
+    u = (np.arange(dst, dtype=np.float64) + 0.5) * src / dst - 0.5
+    exact = np.interp(u, np.arange(src), np.linspace(0.0, 1.0, src))
+    np.testing.assert_allclose(rout[0, 8, interior, 0], exact[interior],
+                               atol=1e-5)

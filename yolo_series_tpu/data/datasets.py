@@ -364,23 +364,55 @@ class DetectionDataset:
                 "device-aug tail requires hyp['perspective'] == 0 "
                 "(affine-only device warp); use the host aug path")
         s = self.img_size
+        tile_pack = None
         if random.random() < hyp["mosaic"]:
             nine = random.random() >= 0.8
             k = 8 if nine else 3
             idxs = [index] + random.choices(range(len(self)), k=k)
             random.shuffle(idxs)
-            imgs, lbs = [], []
-            for i in idxs:
-                img, _, (h, w) = self.load_image(i)
-                imgs.append(img)
-                lbs.append(self._labels_xyxy(i, w, h, 0, 0))
-            fn = A.mosaic9 if nine else A.mosaic4
-            canvas, labels = fn(imgs, lbs, s, random)
-            canvas, labels, _ = A.copy_paste(
-                canvas, labels, [], p=hyp["copy_paste"], rng=random)
+            if not nine and not hyp.get("copy_paste", 0):
+                # 4-tile mosaic COMPOSED ON DEVICE (SURVEY §2.8.3): host
+                # keeps decode + placement geometry + label math
+                # (device_aug.mosaic4_geometry == reference
+                # datasets.py:1010-1045); pixels never touch the host
+                # canvas. copy_paste needs composed pixels -> host fallback.
+                yc = int(random.uniform(s // 2, 2 * s - s // 2))
+                xc = int(random.uniform(s // 2, 2 * s - s // 2))
+                tiles = np.full((4, s, s, 3), 114, np.uint8)
+                hw, lbs = [], []
+                for t, i in enumerate(idxs):
+                    img, _, (h, w) = self.load_image(i)
+                    tiles[t, :h, :w] = img
+                    hw.append((h, w))
+                    lbs.append(self._labels_xyxy(i, w, h, 0, 0))
+                origins, pads = DA.mosaic4_geometry(hw, s, yc, xc)
+                out_l = []
+                for t in range(4):
+                    if len(lbs[t]):
+                        lb = lbs[t].copy()
+                        lb[:, [1, 3]] += pads[t][0]
+                        lb[:, [2, 4]] += pads[t][1]
+                        out_l.append(lb)
+                labels = (np.concatenate(out_l, 0) if out_l
+                          else np.zeros((0, 5), np.float32))
+                if len(labels):
+                    labels[:, 1:5] = labels[:, 1:5].clip(0, 2 * s)
+                tile_pack = (tiles, origins,
+                             np.array([yc, xc], np.float32))
+                canvas = None
+            else:
+                imgs, lbs = [], []
+                for i in idxs:
+                    img, _, (h, w) = self.load_image(i)
+                    imgs.append(img)
+                    lbs.append(self._labels_xyxy(i, w, h, 0, 0))
+                fn = A.mosaic9 if nine else A.mosaic4
+                canvas, labels = fn(imgs, lbs, s, random)
+                canvas, labels, _ = A.copy_paste(
+                    canvas, labels, [], p=hyp["copy_paste"], rng=random)
             M, sc, out_hw = DA.sample_perspective_params(
                 hyp["degrees"], hyp["translate"], hyp["scale"], hyp["shear"],
-                hyp["perspective"], self.mosaic_border, canvas.shape[:2],
+                hyp["perspective"], self.mosaic_border, (2 * s, 2 * s),
                 random)
             M_canvas = M
         else:
@@ -391,11 +423,18 @@ class DetectionDataset:
             M, sc, out_hw = DA.sample_perspective_params(
                 hyp["degrees"], hyp["translate"], hyp["scale"], hyp["shear"],
                 hyp["perspective"], (0, 0), base.shape[:2], random)
-            # embed the s-canvas centered on the static 2s canvas; fold the
-            # embedding shift into the warp (canvas px -> image px -> out)
-            canvas = np.full((2 * s, 2 * s, 3), 114, np.uint8)
+            # the s-canvas embeds centered on the 2s canvas THROUGH the
+            # tile composer (1 active tile, bottom-right corner at
+            # (3s/2, 3s/2) -> region [s/2, 3s/2), degenerate others); the
+            # embedding shift folds into the warp as before
+            tiles = np.full((4, s, s, 3), 114, np.uint8)
+            tiles[0] = base
+            hw1 = [(s, s), (0, 0), (0, 0), (0, 0)]
             off = s // 2
-            canvas[off:off + s, off:off + s] = base
+            origins, _ = DA.mosaic4_geometry(hw1, s, off + s, off + s)
+            tile_pack = (tiles, origins,
+                         np.array([off + s, off + s], np.float32))
+            canvas = None
             e_inv = np.eye(3)
             e_inv[0, 2] = -off
             e_inv[1, 2] = -off
@@ -421,7 +460,7 @@ class DetectionDataset:
             out[:, 2] = 1 - out[:, 2]
         if flip_lr and n:
             out[:, 1] = 1 - out[:, 1]
-        return {"canvas": canvas,
+        return {"canvas": canvas, "tiles": tile_pack,
                 "minv": DA.invert_affine(M_canvas),
                 "hsv": gains.astype(np.float32),
                 "flips": np.array([flip_ud, flip_lr], bool),
@@ -643,11 +682,27 @@ class create_loader:
                         [lbs[i], items[j]["labels"]], 0)
                         if len(lbs[i]) else items[j]["labels"])
         labels, mask = pad_labels(lbs, self.max_labels)
-        canvases = self._pooled(
-            "canvases", (b,) + items[0]["canvas"].shape)
+        s = self.ds.img_size
+        # EVERYTHING rides the 4-tile form so the batch ships the pixels
+        # exactly once (a separate canvases array doubled H2D bytes —
+        # 6 s/batch on the 27 MB/s dev tunnel). A host-composed 2s canvas
+        # (mosaic9 / copy-paste fallback) is its own 4 quadrant tiles.
+        tiles = self._pooled("tiles", (b, 4, s, s, 3))
+        origins = np.zeros((b, 4, 2), np.float32)
+        centers = np.zeros((b, 2), np.float32)
+        quad_org = np.array([[0, 0], [0, s], [s, 0], [s, s]], np.float32)
         for k, it in enumerate(items):
-            canvases[k] = it["canvas"]
-        return {"canvases": canvases,
+            if it.get("tiles") is not None:
+                tiles[k], origins[k], centers[k] = it["tiles"]
+            else:
+                cv = it["canvas"]
+                tiles[k, 0] = cv[:s, :s]
+                tiles[k, 1] = cv[:s, s:]
+                tiles[k, 2] = cv[s:, :s]
+                tiles[k, 3] = cv[s:, s:]
+                origins[k] = quad_org
+                centers[k] = (s, s)
+        return {"tiles": tiles, "origins": origins, "centers": centers,
                 "minv": np.stack([it["minv"] for it in items]),
                 "hsv": np.stack([it["hsv"] for it in items]),
                 "flips": np.stack([it["flips"] for it in items]),

@@ -95,6 +95,85 @@ def warp_labels(targets, M, s, out_hw, perspective=0.0):
     return out
 
 
+def mosaic4_geometry(hw_list, s, yc, xc):
+    """Per-tile buffer origins + label offsets for a 4-tile mosaic, exactly
+    the reference placement arithmetic (datasets.py:1010-1045 / our
+    augment.mosaic4). hw_list: 4 x (h, w) true image sizes inside their
+    (s, s) 114-padded tile buffers. Returns (origins (4, 2) [row0, col0]
+    of each buffer on the 2s canvas, pads (4, 2) [padw, padh] label
+    shifts)."""
+    origins, pads = [], []
+    for i, (h, w) in enumerate(hw_list):
+        if i == 0:    # top left: image bottom-right corner at (yc, xc)
+            x1a, y1a = max(xc - w, 0), max(yc - h, 0)
+            x1b, y1b = w - (xc - x1a), h - (yc - y1a)
+            org = (yc - h, xc - w)
+        elif i == 1:  # top right: bottom-left corner at (yc, xc)
+            x1a, y1a = xc, max(yc - h, 0)
+            x1b, y1b = 0, h - (yc - y1a)
+            org = (yc - h, xc)
+        elif i == 2:  # bottom left: top-right corner at (yc, xc)
+            x1a, y1a = max(xc - w, 0), yc
+            x1b, y1b = w - (xc - x1a), 0
+            org = (yc, xc - w)
+        else:         # bottom right: top-left corner at (yc, xc)
+            x1a, y1a = xc, yc
+            x1b, y1b = 0, 0
+            org = (yc, xc)
+        origins.append(org)
+        pads.append((x1a - x1b, y1a - y1b))
+    return (np.array(origins, np.float32), np.array(pads, np.float32))
+
+
+def make_mosaic_compose(img_size: int):
+    """Jitted device-side 4-tile mosaic compose (SURVEY §2.8.3; reference
+    load_mosaic pixel path, datasets.py:1001-1064).
+
+    fn(tiles (B, 4, s, s, 3) uint8 — each image in the top-left of a
+       114-padded (s, s) buffer, origins (B, 4, 2) f32 buffer row0/col0 on
+       the canvas, centers (B, 2) f32 (yc, xc))
+      -> canvases (B, 2s, 2s, 3) uint8, pixel-exact vs the cv2 slicing
+    path: integer-translate each buffer onto the 2s canvas (separable
+    scale_and_translate, scale 1 — exact copy; out-of-range -> 114 via the
+    shift trick, matching both canvas fill and buffer padding) and select
+    by quadrant. Works for plain letterbox embeds too (1 active tile,
+    degenerate others)."""
+    import jax
+    import jax.numpy as jnp
+
+    def one(tiles, origins, center):
+        out = _compose4_one(tiles, origins, center, 2 * img_size)
+        return jnp.clip(jnp.round(out), 0.0, 255.0).astype(jnp.uint8)
+
+    return jax.jit(jax.vmap(one))
+
+
+def _compose4_one(tiles, origins, center, cs):
+    """Single-sample 4-tile compose -> float32 (cs, cs, 3) canvas."""
+    import jax
+    import jax.numpy as jnp
+
+    yy, xx = jnp.meshgrid(jnp.arange(cs, dtype=jnp.float32),
+                          jnp.arange(cs, dtype=jnp.float32), indexing="ij")
+    yc, xc = center[0], center[1]
+
+    def place(tile, org):
+        img = tile.astype(jnp.float32) - 114.0
+        out = jax.image.scale_and_translate(
+            img, (cs, cs, 3), (0, 1), jnp.ones(2, jnp.float32),
+            jnp.stack([org[0], org[1]]), "linear", antialias=False)
+        return out + 114.0
+
+    placed = [place(tiles[i], origins[i]) for i in range(4)]
+    top = yy < yc
+    left = xx < xc
+    q0 = (top & left)[..., None]
+    q1 = (top & ~left)[..., None]
+    q2 = (~top & left)[..., None]
+    return jnp.where(q0, placed[0], jnp.where(
+        q1, placed[1], jnp.where(q2, placed[2], placed[3])))
+
+
 # -- the device program -----------------------------------------------------
 
 
@@ -138,7 +217,7 @@ def _hsv_to_rgb_cv(h, s, v):
 
 
 def make_device_augment(img_size: int, canvas_size: int,
-                        separable: bool = False):
+                        separable: bool = False, mosaic: bool = False):
     """Build the jitted batched tail.
 
     fn(canvases (B, C, C, 3) uint8 BGR (cv2 order — the channel flip to
@@ -152,6 +231,14 @@ def make_device_augment(img_size: int, canvas_size: int,
     jax.image.scale_and_translate — separable 1-D resampling matmuls that
     run ~40x faster on TPU than per-pixel gathers. The caller asserts the
     hyp precondition (data/datasets.py device_item).
+
+    mosaic=True: fn signature becomes (tiles (B, 4, s, s, 3) uint8,
+    origins (B, 4, 2) f32, centers (B, 2) f32, minv, hsv, flips, mix_idx,
+    mix_w) — the canvas is composed ON DEVICE from 4 tiles (SURVEY
+    §2.8.3; pixel-exact vs the cv2 path, see make_mosaic_compose). Every
+    sample kind rides this form so pixels ship exactly once: mosaic4 as
+    its tiles, a host-composed canvas (mosaic9 / copy-paste) as its 4
+    quadrants, a plain letterbox as 1 active tile.
     """
     import jax
     import jax.numpy as jnp
@@ -218,7 +305,7 @@ def make_device_augment(img_size: int, canvas_size: int,
         out = _hsv_to_rgb_cv(h, sat, v)
         return out
 
-    def fn(canvases, minv, hsv_gains, flips, mix_idx, mix_w):
+    def tail(canvases, minv, hsv_gains, flips, mix_idx, mix_w):
         canvases = canvases[..., ::-1]  # BGR -> RGB
         imgs = jax.vmap(one)(canvases, minv, hsv_gains)
         imgs = jnp.where(flips[:, 0, None, None, None],
@@ -231,7 +318,20 @@ def make_device_augment(img_size: int, canvas_size: int,
         imgs = imgs * w + partners * (1.0 - w)
         return imgs / 255.0
 
-    return jax.jit(fn)
+    if not mosaic:
+        return jax.jit(tail)
+
+    cs = canvas_size
+
+    def fn_mosaic(tiles, origins, centers,
+                  minv, hsv_gains, flips, mix_idx, mix_w):
+        composed = jax.vmap(
+            lambda t, o, c: _compose4_one(t, o, c, cs))(tiles, origins,
+                                                        centers)
+        composed = jnp.clip(jnp.round(composed), 0.0, 255.0).astype(jnp.uint8)
+        return tail(composed, minv, hsv_gains, flips, mix_idx, mix_w)
+
+    return jax.jit(fn_mosaic)
 
 
 def invert_affine(M: np.ndarray) -> np.ndarray:

@@ -63,6 +63,12 @@ def make_train_step(plan, loss_fn: Callable, opt_cfg: OptimConfig,
     built = {}  # optimizer needs the params tree for group masks; built at trace
 
     def loss_and_grad(params, state, images, labels, mask):
+        if images.dtype == jnp.uint8:
+            # uint8 ingest: ship raw bytes, normalize on device (fp32
+            # host-side conversion quadruples H2D traffic — 78 MB/batch
+            # bs16@640 vs 20 MB; the serving engine ingests uint8 the
+            # same way, infer/serving.py)
+            images = images.astype(jnp.float32) / 255.0
         if resize_to is not None and resize_to != images.shape[-3]:
             # device-side multi-scale (reference train.py:360-365); labels
             # are normalized so a full-image resize leaves them unchanged

@@ -290,7 +290,7 @@ def train(tc: TrainConfig, train_ds: Optional[DetectionDataset] = None,
                 cosine=not tc.linear_lr)
             fn = (step_fns[sizes[size_rng.integers(len(sizes))]]
                   if tc.multi_scale else step_fn)
-            if "canvases" in micro[0]:
+            if "tiles" in micro[0] or "canvases" in micro[0]:
                 # device-aug tail (data/device_aug.py): warp/HSV/flip/mixup
                 # run on-device; output is already normalized float
                 if dev_aug_fn is None:
@@ -302,14 +302,21 @@ def train(tc: TrainConfig, train_ds: Optional[DetectionDataset] = None,
                     sep = (hyp.get("degrees", 0) == 0
                            and hyp.get("shear", 0) == 0
                            and hyp.get("perspective", 0) == 0)
-                    dev_aug_fn = make_device_augment(tc.img_size,
-                                                     2 * tc.img_size,
-                                                     separable=sep)
-                aug_imgs = [dev_aug_fn(
-                    jnp.asarray(b["canvases"]), jnp.asarray(b["minv"]),
-                    jnp.asarray(b["hsv"]), jnp.asarray(b["flips"]),
-                    jnp.asarray(b["mix_idx"]), jnp.asarray(b["mix_w"]))
-                    for b in micro]
+                    dev_aug_fn = make_device_augment(
+                        tc.img_size, 2 * tc.img_size, separable=sep,
+                        mosaic="tiles" in micro[0])
+
+                def _aug(b):
+                    rest = (jnp.asarray(b["minv"]), jnp.asarray(b["hsv"]),
+                            jnp.asarray(b["flips"]),
+                            jnp.asarray(b["mix_idx"]), jnp.asarray(b["mix_w"]))
+                    if "tiles" in b:  # device-side mosaic compose
+                        return dev_aug_fn(
+                            jnp.asarray(b["tiles"]), jnp.asarray(b["origins"]),
+                            jnp.asarray(b["centers"]), *rest)
+                    return dev_aug_fn(jnp.asarray(b["canvases"]), *rest)
+
+                aug_imgs = [_aug(b) for b in micro]
                 ims_dev = (jnp.stack(aug_imgs) if accumulate > 1
                            else aug_imgs[0])
             else:
@@ -317,7 +324,9 @@ def train(tc: TrainConfig, train_ds: Optional[DetectionDataset] = None,
                     ims = np.stack([b["images"] for b in micro])
                 else:
                     ims = micro[0]["images"]
-                ims_dev = jnp.asarray(ims, jnp.float32) / 255.0
+                # ship raw uint8; the step normalizes on device
+                # (train/step.py loss_and_grad — 4x less H2D traffic)
+                ims_dev = jnp.asarray(ims)
             if accumulate > 1:
                 lbs = np.stack([b["labels"] for b in micro])
                 mks = np.stack([b["label_mask"] for b in micro])
