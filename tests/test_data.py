@@ -359,3 +359,65 @@ def test_check_dataset_and_file(tmp_path):
     with pytest.raises(FileNotFoundError):
         check_dataset({"train": str(tmp_path / "missing.txt")})
     assert clean_str("a|b@c#d") == "a_b_c_d"
+
+
+def test_quad_collate_matches_reference(coco_tree):
+    """create_loader(quad=True) vs the reference collate_fn4
+    (datasets.py:931-955), same rng draws: the 2x2 supertile layout
+    [[0, 2], [1, 3]], the per-quadrant label shift/halve, and the
+    50% 2x-upsample branch (labels unchanged)."""
+    import random as _random
+
+    import sys
+    sys.path.insert(0, str(Path(__file__).parent))
+    from ref_oracle import has_reference, load_reference
+
+    if not has_reference():
+        import pytest
+        pytest.skip("reference repo not present")
+    load_reference()
+    import torch
+    from utils.datasets import LoadImagesAndLabels
+
+    root, _ = coco_tree
+    ds = DetectionDataset(str(root / "images"), img_size=64, batch_size=8,
+                          augment=False)
+    loader = create_loader(ds, batch_size=8, shuffle=False, max_labels=64,
+                           quad=True)
+
+    # rebuild the reference-format batch from the same dataset items
+    items = [ds[i] for i in range(8)]
+    ref_batch = []
+    for img, lb, path, _sh in items:
+        t_img = torch.from_numpy(img.transpose(2, 0, 1).copy())
+        t_lb = torch.zeros((len(lb), 6))
+        if len(lb):
+            t_lb[:, 1] = torch.from_numpy(lb[:, 0].copy())
+            t_lb[:, 2:] = torch.from_numpy(lb[:, 1:5].copy())
+        ref_batch.append((t_img, t_lb, path, None))
+
+    _random.seed(123)
+    t_img4, t_lb4, _, _ = LoadImagesAndLabels.collate_fn4(ref_batch)
+
+    _random.seed(123)
+    batch = next(iter(loader))
+
+    assert batch["images"].shape == (2, 128, 128, 3)
+    want_imgs = t_img4.numpy().transpose(0, 2, 3, 1)
+    # the upsample branch differs (torch bilinear vs cv2 INTER_LINEAR);
+    # compare stitched quads exactly and upsampled ones loosely
+    for i in range(2):
+        diff = np.abs(batch["images"][i].astype(np.float32)
+                      - want_imgs[i].astype(np.float32))
+        assert np.median(diff) <= 1.0, f"quad {i}: median {np.median(diff)}"
+        assert (diff > 8).mean() < 0.02, f"quad {i}"
+    # labels: group reference rows by image index
+    for i in range(2):
+        want = t_lb4[t_lb4[:, 0] == i, 1:].numpy()  # (n, 5) cls+xywh
+        got = batch["labels"][i][batch["label_mask"][i]]
+        assert len(got) == len(want), (i, len(got), len(want))
+        if len(want):
+            order_w = np.lexsort(want.T)
+            order_g = np.lexsort(got.T)
+            np.testing.assert_allclose(got[order_g], want[order_w],
+                                       atol=1e-5)

@@ -36,15 +36,21 @@ SHAPES_1X1 = [
 ]
 
 
+def _fetch_scalar(out):
+    # device-side slice, then fetch ONE element — np.asarray(out) would pull
+    # the whole result through the 27 MB/s dev tunnel and time the transfer
+    return np.asarray(out[(0,) * out.ndim])
+
+
 def _time(fn, *args, iters=20):
     out = fn(*args)
-    _ = np.asarray(out).ravel()[:1]
+    _fetch_scalar(out)
     best = float("inf")
     for _i in range(3):
         t0 = time.perf_counter()
         for _j in range(iters):
             out = fn(*args)
-        _ = np.asarray(out).ravel()[:1]
+        _fetch_scalar(out)
         best = min(best, (time.perf_counter() - t0) / iters)
     return best * 1e3
 

@@ -42,6 +42,9 @@ def make_parser():
     p.add_argument("--cache-images", action="store_true",
                    help="RAM-cache decoded images (reference --cache)")
     p.add_argument("--image-weights", action="store_true")
+    p.add_argument("--quad", action="store_true",
+                   help="quad collate: 4 samples -> one 2x image "
+                        "(reference collate_fn4)")
     p.add_argument("--adam", action="store_true")
     p.add_argument("--linear-lr", action="store_true")
     p.add_argument("--label-smoothing", type=float, default=0.0)
@@ -99,7 +102,8 @@ def main():
             noval=opt.noval, save_period=opt.save_period, seed=opt.seed,
             n_data_devices=opt.devices, multi_scale=opt.multi_scale,
             freeze=opt.freeze, image_weights=opt.image_weights,
-            device_aug=opt.device_aug, cache_images=opt.cache_images)
+            device_aug=opt.device_aug, cache_images=opt.cache_images,
+            quad=opt.quad)
     if opt.evolve:
         from yolo_series_tpu.train.evolve import evolve
         evolve(tc, generations=opt.evolve_gens)

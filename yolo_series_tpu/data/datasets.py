@@ -594,9 +594,21 @@ class create_loader:
     def __init__(self, dataset: DetectionDataset, batch_size=16,
                  shuffle=True, max_labels=256, drop_last=True, seed=0,
                  prefetch=2, image_weights=False, class_weights=None,
-                 hold=1):
+                 hold=1, quad=False):
         self.ds = dataset
         self.bs = batch_size
+        # quad collate (reference collate_fn4, datasets.py:931-955): every
+        # 4 samples become ONE 2x image — 50% a 2x-upsampled single image,
+        # 50% a 2x2 supertile with merged labels. Yields bs/4 images of
+        # twice the side length. Host path only (the device-aug tail's
+        # static 2s canvas subsumes the memory trick).
+        self.quad = quad
+        if quad:
+            assert batch_size % 4 == 0, "quad collate needs batch_size % 4 == 0"
+            assert not getattr(dataset, "device_tail", False), \
+                "quad is a host-collate mode"
+            assert not getattr(dataset, "rect", False), \
+                "quad needs uniform square batches"
         self.shuffle = shuffle
         self.max_labels = max_labels
         self.drop_last = drop_last
@@ -646,6 +658,9 @@ class create_loader:
         if getattr(self.ds, "device_tail", False):
             return self._make_device_batch(idxs)
         items = [self.ds[i] for i in idxs]
+        if self.quad:
+            items = [self._quad_item(items[i:i + 4])
+                     for i in range(0, len(items) - 3, 4)]
         shape = (len(items),) + items[0][0].shape
         imgs = self._pooled("images", shape)
         for k, it in enumerate(items):
@@ -654,6 +669,36 @@ class create_loader:
         return {"images": imgs, "labels": labels, "label_mask": mask,
                 "paths": [it[2] for it in items],
                 "shapes": [it[3] for it in items]}
+
+    @staticmethod
+    def _quad_item(group):
+        """4 (img, labels, path, shapes) -> one 2x item (collate_fn4,
+        reference datasets.py:938-949): 50% bilinear 2x upsample of the
+        first image (labels unchanged — normalized), 50% a 2x2 supertile
+        [[0, 2], [1, 3]] with labels shifted into their quadrant and
+        halved."""
+        img0 = group[0][0]
+        h, w = img0.shape[:2]
+        if random.random() < 0.5:
+            im = cv2.resize(img0, (w * 2, h * 2),
+                            interpolation=cv2.INTER_LINEAR)
+            lb = group[0][1]
+        else:
+            left = np.concatenate([group[0][0], group[1][0]], axis=0)
+            right = np.concatenate([group[2][0], group[3][0]], axis=0)
+            im = np.concatenate([left, right], axis=1)
+            shifts = ((0.0, 0.0), (0.0, 1.0), (1.0, 0.0), (1.0, 1.0))
+            parts = []
+            for (dx, dy), (_, l, _, _) in zip(shifts, group):
+                if len(l):
+                    l = l.copy()
+                    l[:, 1] = (l[:, 1] + dx) * 0.5
+                    l[:, 2] = (l[:, 2] + dy) * 0.5
+                    l[:, 3:5] *= 0.5
+                    parts.append(l)
+            lb = (np.concatenate(parts, 0) if parts
+                  else np.zeros((0, 5), np.float32))
+        return im, lb, group[0][2], group[0][3]
 
     def _make_device_batch(self, idxs):
         """Collate for the device-aug tail: canvases + warp/HSV/flip params.

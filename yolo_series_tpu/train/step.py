@@ -52,7 +52,8 @@ def make_train_step(plan, loss_fn: Callable, opt_cfg: OptimConfig,
                     compute_dtype=jnp.bfloat16,
                     ema_base: float = 0.9999,
                     freeze: int = 0,
-                    resize_to: Optional[int] = None):
+                    resize_to: Optional[int] = None,
+                    loss_scale: float = 1.0):
     """Build train_step(ts, images, labels, label_mask, lr_groups, momentum).
 
     images: (accum, B, H, W, 3) when accumulate > 1, else (B, H, W, 3);
@@ -81,11 +82,15 @@ def make_train_step(plan, loss_fn: Callable, opt_cfg: OptimConfig,
             out, new_state = apply_model(plan, p, state, images,
                                          training=True, dtype=compute_dtype)
             total, items = loss_fn(out["raw"], labels, mask)
-            return total, (items, new_state)
+            # loss_scale: the quad-collate gradient compensation
+            # (reference `loss *= 4.`, train.py:377-378) — scales the
+            # GRADIENT only; logged metrics stay unscaled like the
+            # reference's loss_items
+            return total * loss_scale, (items, new_state)
 
         (total, (items, new_state)), grads = jax.value_and_grad(
             lf, has_aux=True)(params)
-        return total, items, new_state, grads
+        return total / loss_scale, items, new_state, grads
 
     def train_step(ts: TrainState, images, labels, mask, lr_groups, momentum):
         if "opt" not in built:

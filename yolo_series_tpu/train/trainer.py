@@ -80,6 +80,8 @@ class TrainConfig:
     cache_images: bool = False    # RAM-cache decoded images (train --cache)
     fast_stem: bool = True        # phase-folded stem in the train step
     # (SGD-equivalent weight reshuffle, models/faststem.make_train_fast_stem)
+    quad: bool = False            # quad collate: 4 samples -> one 2x image
+    # (reference collate_fn4 + loss*4 compensation, datasets.py:931/train.py:377)
 
 
 def _scaled_loss_hyp(hyp: dict, nl: int, nc: int, img_size: int,
@@ -178,12 +180,16 @@ def train(tc: TrainConfig, train_ds: Optional[DetectionDataset] = None,
             print(f"autoanchor skipped: {e}")
 
     nl = len(head.strides)
+    # quad mode: images arrive at 2x side length (the label->pixel decode
+    # inside the loss must use the REAL image size); the reference scales
+    # hyp gains by the base imgsz regardless of --quad (train.py:288-291)
+    loss_img = tc.img_size * (2 if tc.quad else 1)
     loss_hyp = _scaled_loss_hyp(hyp, nl, nc, tc.img_size, tc.label_smoothing)
     is_aux = isinstance(head, IAuxDetect)
     if is_aux:
-        loss_fn = make_compute_loss_aux_ota(head, loss_hyp, tc.img_size)
+        loss_fn = make_compute_loss_aux_ota(head, loss_hyp, loss_img)
     elif hyp.get("loss_ota", 1):
-        loss_fn = make_compute_loss_ota(head, loss_hyp, tc.img_size)
+        loss_fn = make_compute_loss_ota(head, loss_hyp, loss_img)
     else:
         loss_fn = make_compute_loss(head, loss_hyp)
 
@@ -242,18 +248,20 @@ def train(tc: TrainConfig, train_ds: Optional[DetectionDataset] = None,
         step_fns = {sz: make_train_step(
             step_plan, loss_fn, opt_cfg, mesh=mesh, accumulate=accumulate,
             compute_dtype=tc.compute_dtype, freeze=tc.freeze,
-            resize_to=sz) for sz in sizes}
+            resize_to=sz, loss_scale=4.0 if tc.quad else 1.0)
+            for sz in sizes}
         size_rng = np.random.default_rng(tc.seed + 777)
     else:
         step_fn = make_train_step(step_plan, loss_fn, opt_cfg, mesh=mesh,
                                   accumulate=accumulate,
                                   compute_dtype=tc.compute_dtype,
-                                  freeze=tc.freeze)
+                                  freeze=tc.freeze,
+                                  loss_scale=4.0 if tc.quad else 1.0)
 
     loader = create_loader(train_ds, batch_size=tc.batch_size,
                            max_labels=tc.max_labels, seed=tc.seed,
                            image_weights=tc.image_weights,
-                           hold=accumulate)
+                           hold=accumulate, quad=tc.quad)
     nb = len(loader)
     warmup_steps = max(round(hyp["warmup_epochs"] * nb), tc.warmup_min_steps)
 
