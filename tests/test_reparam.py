@@ -101,6 +101,63 @@ def test_fast_stem_noop_on_tiny():
     assert plan2 is plan
 
 
+def test_train_reorg_conv_block_exact():
+    """[ReOrg, ConvBnAct(4c->c2,k3,s1)] == TrainReorgConv 6x6/s2 fold —
+    exact values AND gradients (the fold is a traced weight reshuffle)."""
+    from yolo_series_tpu.models.faststem import TrainReorgConv
+
+    c, c2 = 3, 16
+    reorg = L.ReOrg(c)
+    conv = L.ConvBnAct(4 * c, c2, 3, 1)
+    folded = TrainReorgConv(c, c2)
+    params, state = conv.init(jax.random.PRNGKey(0))
+    state = _randomize_bn_state(state, jax.random.PRNGKey(1))
+    x = jax.random.normal(jax.random.PRNGKey(2), (2, 32, 32, c))
+
+    for training in (False, True):
+        ctx = Ctx(training=training)
+
+        def ref_fn(p):
+            y, _ = reorg.apply({}, {}, x, ctx)
+            y, st = conv.apply(p, state, y, ctx)
+            return jnp.sum(jnp.square(y)), (y, st)
+
+        def fold_fn(p):
+            y, st = folded.apply(p, state, x, ctx)
+            return jnp.sum(jnp.square(y)), (y, st)
+
+        (l1, (y1, st1)), g1 = jax.value_and_grad(ref_fn, has_aux=True)(params)
+        (l2, (y2, st2)), g2 = jax.value_and_grad(fold_fn, has_aux=True)(params)
+        np.testing.assert_allclose(np.asarray(y2), np.asarray(y1),
+                                   rtol=1e-5, atol=1e-5)
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(b), np.asarray(a), rtol=1e-4, atol=2e-4), g1, g2)
+        if training:
+            jax.tree_util.tree_map(
+                lambda a, b: np.testing.assert_allclose(
+                    np.asarray(b), np.asarray(a), rtol=1e-5, atol=1e-6),
+                st1, st2)
+
+
+def test_train_fast_stem_w6_model():
+    """make_train_fast_stem folds the w6 ReOrg stem; eval outputs exact
+    vs the original plan with the SAME params/state trees."""
+    from yolo_series_tpu.models.faststem import TrainReorgConv, make_train_fast_stem
+
+    plan = compile_graph("yolo_series_tpu/models/cfg/training/yolov7-w6.yaml")
+    plan2 = make_train_fast_stem(plan)
+    assert plan2 is not plan
+    assert isinstance(plan2.layers[1].block, TrainReorgConv)
+    params, state = init_model(plan, jax.random.PRNGKey(0))
+    state = _randomize_bn_state(state, jax.random.PRNGKey(1))
+    x = jax.random.uniform(jax.random.PRNGKey(2), (1, 128, 128, 3))
+    out1, _ = apply_model(plan, params, state, x, training=False)
+    out2, _ = apply_model(plan2, params, state, x, training=False)
+    np.testing.assert_allclose(np.asarray(out2["pred"]),
+                               np.asarray(out1["pred"]), rtol=1e-4, atol=1e-4)
+
+
 def test_prune_and_sparsity():
     """Per-leaf L1 pruning (torch_utils.prune/sparsity equivalents)."""
     import jax

@@ -27,12 +27,12 @@ import numpy as np
 jax.config.update("jax_compilation_cache_dir",
                   os.environ["JAX_COMPILATION_CACHE_DIR"])
 
-# (B*H*W, Cin, Cout): the dominant yolov7 1x1 conv shapes @640 bs32
+# (B*H*W, Cin, Cout): the dominant yolov7 1x1 conv shapes @640 (bs8 —
+# larger int8 shapes drove the remote compiler into multi-hour compiles
+# that wedged the dev terminal; per-element timing scales linearly)
 SHAPES_1X1 = [
-    (32 * 80 * 80, 512, 256),
-    (32 * 40 * 40, 1024, 512),
-    (32 * 20 * 20, 2048, 1024),
-    (32 * 160 * 160, 128, 64),
+    (8 * 40 * 40, 1024, 512),
+    (8 * 20 * 20, 2048, 1024),
 ]
 
 

@@ -217,6 +217,81 @@ class TrainPhasedConvB(Block):
         return fn(y), {"bn": new_bns}
 
 
+@dataclasses.dataclass(frozen=True)
+class _Passthrough(Block):
+    """Replaces a folded-away ReOrg: forwards x unchanged (the fold moved
+    the space-to-depth INTO the next conv's kernel)."""
+
+    c1: int
+
+    @property
+    def cout(self):
+        return self.c1
+
+    stride_factor = 1.0
+
+    def init(self, key):
+        return {}, {}
+
+    def apply(self, params, state, x, ctx):
+        return x, state
+
+
+# ReOrg phase order (models/layers.py ReOrg == reference common.py:48):
+# (row, col) offsets per channel block
+_REORG_PHASES = ((0, 0), (1, 0), (0, 1), (1, 1))
+
+
+def _reorg_w6(w3):
+    """(3,3,4*C,c1) conv-after-ReOrg kernel -> (6,6,C,c1) stride-2 kernel
+    on the RAW image (traced, differentiable): tap (2*di+a, 2*dj+b) of the
+    6x6 kernel carries w3[di+1, dj+1, p*C+cin] for phase p=(a, b). ReOrg
+    then conv3x3/s1/pad1 == conv6x6/s2/pad2 exactly (incl. zero padding:
+    phase-pixel -1 is original rows -2/-1)."""
+    c4, c1 = w3.shape[2], w3.shape[3]
+    c_in = c4 // 4
+    w6 = jnp.zeros((6, 6, c_in, c1), w3.dtype)
+    for p, (a, b) in enumerate(_REORG_PHASES):
+        for di in (-1, 0, 1):
+            for dj in (-1, 0, 1):
+                w6 = w6.at[2 * di + a + 2, 2 * dj + b + 2, :, :].set(
+                    w3[di + 1, dj + 1, p * c_in:(p + 1) * c_in, :])
+    return w6
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainReorgConv(Block):
+    """Training-time fold of [ReOrg, ConvBnAct(4c->c2, k3, s1)] (the P6
+    stem, cfg/training/yolov7-w6.yaml:16-17) into ONE 6x6/s2 conv on the
+    raw image. The ReOrg strided slices are layout-hostile on TPU
+    (profiled: 4 x 3.7 ms 'custom fusion' fwd + mirrors in bwd at
+    1280px); the fold removes them entirely. Params/state stay the
+    original ConvBnAct's ({w (3,3,4c,c2), bn}) — the kernel reshuffle is
+    traced, so gradients/EMA/checkpoints are untouched."""
+
+    c1: int     # raw input channels (3)
+    c2: int
+    act: Any = True
+
+    @property
+    def cout(self):
+        return self.c2
+
+    stride_factor = 2.0
+
+    def init(self, key):
+        return ConvBnAct(4 * self.c1, self.c2, 3, 1, None, 1, self.act).init(key)
+
+    def apply(self, params, state, x, ctx):
+        from yolo_series_tpu.models.layers import batch_norm
+
+        w6 = _reorg_w6(params["w"])
+        y = conv2d(x, w6, 2, ((2, 2), (2, 2)), 1, ctx.dtype)
+        y, new_bns = batch_norm(params["bn"], state["bn"], y, ctx)
+        _, fn = get_activation(self.act)
+        return fn(y), {"bn": new_bns}
+
+
 def _train_pair_matches(plan, i):
     layers = plan.layers
     if i + 1 >= len(layers) or layers[i].is_head or layers[i + 1].is_head:
@@ -236,9 +311,28 @@ def make_train_fast_stem(plan: GraphPlan, max_pairs: int = 2) -> GraphPlan:
     only the plan differs — so this composes with checkpoints, EMA and the
     optimizer transparently. Returns the plan unchanged if nothing matches
     (P6 stems start with ReOrg)."""
+    from yolo_series_tpu.models.layers import ReOrg
+
     new_layers = list(plan.layers)
     folded = 0
     i = 0
+    # P6 stems: [ReOrg, Conv(4c -> c2, k3, s1)] folds to one 6x6/s2 conv
+    l0 = new_layers[0].block
+    if (len(new_layers) > 1 and isinstance(l0, ReOrg)
+            and isinstance(new_layers[1].block, ConvBnAct)
+            and new_layers[1].block.k == 3 and new_layers[1].block.s == 1
+            and new_layers[1].block.g == 1 and new_layers[1].block.p is None
+            and new_layers[0].frm == -1 and new_layers[1].frm == -1
+            and 0 not in plan.save and new_layers[1].n_seq == 1):
+        c_raw = l0.c1
+        conv = new_layers[1].block
+        new_layers[0] = dataclasses.replace(
+            new_layers[0], block=_Passthrough(c_raw), cout=c_raw,
+            stride=new_layers[0].stride / 2)
+        new_layers[1] = dataclasses.replace(
+            new_layers[1], block=TrainReorgConv(c_raw, conv.c2, conv.act))
+        folded += 1
+        i = 2
     while i + 1 < len(new_layers) and folded < max_pairs:
         probe = dataclasses.replace(plan, layers=tuple(new_layers))
         if not _train_pair_matches(probe, i):
