@@ -37,6 +37,7 @@ class ServingEngine:
     def __init__(self, plan, params, state, *, batch_size=8, img_size=640,
                  conf_thres=0.25, iou_thres=0.45, max_det=100,
                  dtype=jnp.bfloat16, max_nms=1024, fast_stem=True,
+                 pallas_elan=True,
                  ingest_hw: Optional[tuple] = None, pack_output=False):
         """ingest_hw=(h, w): accept RAW camera-shaped uint8 frames and
         letterbox ON DEVICE (data/device_aug.make_device_letterbox) —
@@ -45,6 +46,11 @@ class ServingEngine:
         if fast_stem:
             from yolo_series_tpu.models.faststem import make_fast_stem
             plan, params, state = make_fast_stem(plan, params, state, max_pairs=2)
+        if pallas_elan:
+            # whole-ELAN-block Pallas kernels (ops/pallas_elan.py); falls
+            # back to an identical-semantics XLA chain off-TPU
+            from yolo_series_tpu.ops.pallas_elan import make_pallas_elan
+            plan, params, state = make_pallas_elan(plan, params, state)
         self.plan = plan
         self.batch_size = batch_size
         self.img_size = img_size
