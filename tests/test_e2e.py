@@ -153,3 +153,37 @@ def test_train_eval_detect_roundtrip(shapes_dataset, tmp_path):
     d = det(im)
     assert len(d) >= 1, "no detections after overfit"
     assert d[0, 4] > 0.05
+
+
+def test_warmup_accumulate_ramp_cadence(shapes_dataset, tmp_path):
+    """During warmup the trainer steps the optimizer more often, ramping
+    accumulate 1 -> nbs/bs like the reference (train.py:352-353, 384).
+
+    8 batches, nw=8, final accumulate 2: ramp values per batch are
+    [1,1,1,1,2,2,2,2] -> 4 one-batch steps then 2 two-batch steps = 6
+    optimizer steps (a fixed accumulate would give 4)."""
+    import jax.numpy as jnp
+
+    from yolo_series_tpu.data.datasets import DetectionDataset
+    from yolo_series_tpu.train.trainer import TrainConfig, train
+
+    img_size = 64
+    hyp = {"mosaic": 0.0, "mixup": 0.0, "paste_in": 0.0, "loss_ota": 0,
+           "warmup_bias_lr": 0.01,
+           "warmup_epochs": 2.0}  # nw = max(2*4, warmup_min_steps) = 8
+    train_ds = DetectionDataset(str(shapes_dataset / "images"),
+                                img_size=img_size, batch_size=4,
+                                augment=False, hyp=hyp)
+    data_yaml = tmp_path / "data.yaml"
+    data_yaml.write_text(yaml.dump({
+        "train": str(shapes_dataset / "images"),
+        "val": str(shapes_dataset / "images"), "nc": 1, "names": ["box"]}))
+    tc = TrainConfig(
+        cfg="yolo_series_tpu/models/cfg/training/yolov7-tiny.yaml",
+        data=str(data_yaml), hyp=hyp, epochs=2, batch_size=4,
+        img_size=img_size, save_dir=str(tmp_path / "run_ramp"),
+        compute_dtype=jnp.float32, max_labels=8, noval=True,
+        save_period=-1, warmup_min_steps=8, nominal_batch_size=8,
+        autoanchor=False)
+    out = train(tc, train_ds=train_ds, val_ds=None)
+    assert int(out["train_state"].step) == 6

@@ -328,3 +328,18 @@ def test_optimizer_warmup_ema_semantics_exact():
                                rtol=1e-4, atol=1e-6)
     np.testing.assert_allclose(np.asarray(ema_p["gain"]),
                                t_ema["gain"].numpy(), rtol=1e-4, atol=1e-6)
+
+
+def test_warmup_accumulate_ramp_matches_reference():
+    """The warmup accumulate ramp is bit-identical to the reference's
+    ``max(1, np.interp(ni, [0, nw], [1, nbs/bs]).round())``
+    (train.py:352-353), including banker's rounding at .5 boundaries."""
+    import numpy as np
+
+    from yolo_series_tpu.train.schedules import warmup_accumulate
+
+    for nw, final in ((1000, 4.0), (1000, 2.0), (16, 8.0), (7, 3.5)):
+        for ni in range(0, int(nw) + 5):
+            ref = max(1, int(np.interp(ni, [0, nw], [1, final]).round()))
+            got = warmup_accumulate(ni, nw, final)
+            assert got == ref, (nw, final, ni, got, ref)

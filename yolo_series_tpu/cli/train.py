@@ -57,6 +57,9 @@ def make_parser():
     p.add_argument("--name", default="exp")
     p.add_argument("--exist-ok", action="store_true")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--no-warmup-accumulate", action="store_true",
+                   help="disable the warmup accumulate ramp (train.py:352) "
+                        "— one fixed-accumulate compiled step program")
     p.add_argument("--evolve", action="store_true",
                    help="hyperparameter evolution (GA)")
     p.add_argument("--evolve-gens", type=int, default=300)
@@ -103,7 +106,8 @@ def main():
             n_data_devices=opt.devices, multi_scale=opt.multi_scale,
             freeze=opt.freeze, image_weights=opt.image_weights,
             device_aug=opt.device_aug, cache_images=opt.cache_images,
-            quad=opt.quad)
+            quad=opt.quad,
+            warmup_accumulate=not opt.no_warmup_accumulate)
     if opt.evolve:
         from yolo_series_tpu.train.evolve import evolve
         evolve(tc, generations=opt.evolve_gens)

@@ -18,6 +18,19 @@ def linear_lr(epoch, epochs, lrf):
     return (1 - epoch / (epochs - 1)) * (1.0 - lrf) + lrf
 
 
+def warmup_accumulate(ni, warmup_steps, final):
+    """Grad-accumulation ramp during warmup (reference train.py:352-353):
+    ``accumulate = max(1, np.interp(ni, [0, nw], [1, nbs/bs]).round())``.
+
+    Host-side (it picks which compiled step program runs); uses np.interp
+    so rounding at .5 boundaries is bit-identical to the reference.
+    """
+    import numpy as np
+    # np.interp clamps beyond nw, so post-warmup this stays at round(final)
+    # like the reference (which stops updating accumulate once ni > nw)
+    return max(1, int(np.interp(ni, [0, warmup_steps], [1, final]).round()))
+
+
 def warmup_factors(step, warmup_steps, epoch_frac, epochs, lr0, lrf,
                    warmup_bias_lr, warmup_momentum, momentum,
                    cosine=True):

@@ -33,7 +33,7 @@ from yolo_series_tpu.train.checkpoints import (
     load_checkpoint, restore_train_state, save_checkpoint, strip_checkpoint,
 )
 from yolo_series_tpu.train.optim import OptimConfig
-from yolo_series_tpu.train.schedules import warmup_factors
+from yolo_series_tpu.train.schedules import warmup_accumulate, warmup_factors
 from yolo_series_tpu.train.step import init_train_state, make_train_step
 
 DEFAULT_TRAIN_HYP = {
@@ -82,6 +82,8 @@ class TrainConfig:
     # (SGD-equivalent weight reshuffle, models/faststem.make_train_fast_stem)
     quad: bool = False            # quad collate: 4 samples -> one 2x image
     # (reference collate_fn4 + loss*4 compensation, datasets.py:931/train.py:377)
+    warmup_accumulate: bool = True  # ramp accumulate 1 -> nbs/bs during
+    # warmup (train.py:352-353); one compiled step program per distinct value
 
 
 def _scaled_loss_hyp(hyp: dict, nl: int, nc: int, img_size: int,
@@ -195,10 +197,11 @@ def train(tc: TrainConfig, train_ds: Optional[DetectionDataset] = None,
 
     # grad accumulation to the nominal batch (reference train.py:110-112):
     # `accumulate` micro-batches feed one optimizer step via in-graph
-    # lax.scan; weight decay is scaled by the effective batch. Documented
-    # deviation: the reference also ramps accumulate 1 -> nbs/bs during
-    # warmup (train.py:352-353); here it is fixed so each optimizer step
-    # stays one compiled program.
+    # lax.scan; weight decay is scaled by the effective batch (train.py:112
+    # uses the final accumulate, not the warmup-ramped one). During warmup
+    # the reference ramps accumulate 1 -> nbs/bs (train.py:352-353); here
+    # each distinct ramp value selects its own compiled step program
+    # (<= nbs/bs compiles, all shape-static).
     accumulate = max(round(tc.nominal_batch_size / tc.batch_size), 1)
     opt_cfg = OptimConfig(kind="adam" if tc.adam else "sgd", lr0=hyp["lr0"],
                           momentum=hyp["momentum"],
@@ -240,23 +243,23 @@ def train(tc: TrainConfig, train_ds: Optional[DetectionDataset] = None,
 
     gs = int(max(head.strides))
     if tc.multi_scale:
-        # size buckets at ±25% rounded to the max stride; one compiled step
-        # per bucket (the reference re-interpolates every batch over ±50%,
-        # train.py:360 — unbounded shape churn that XLA can't cache)
+        # size buckets over the reference's ±50% range (train.py:360-365
+        # draws uniform [0.5, 1.5]·imgsz gs-rounded every batch — unbounded
+        # shape churn XLA can't cache); 5 buckets, one compiled step each,
+        # built lazily on first draw
         sizes = sorted({int(round(tc.img_size * s / gs)) * gs
-                        for s in (0.75, 1.0, 1.25)})
-        step_fns = {sz: make_train_step(
-            step_plan, loss_fn, opt_cfg, mesh=mesh, accumulate=accumulate,
-            compute_dtype=tc.compute_dtype, freeze=tc.freeze,
-            resize_to=sz, loss_scale=4.0 if tc.quad else 1.0)
-            for sz in sizes}
+                        for s in (0.5, 0.75, 1.0, 1.25, 1.5)})
         size_rng = np.random.default_rng(tc.seed + 777)
-    else:
-        step_fn = make_train_step(step_plan, loss_fn, opt_cfg, mesh=mesh,
-                                  accumulate=accumulate,
-                                  compute_dtype=tc.compute_dtype,
-                                  freeze=tc.freeze,
-                                  loss_scale=4.0 if tc.quad else 1.0)
+    step_cache: Dict[Any, Any] = {}
+
+    def _get_step(accum: int, size: Optional[int] = None):
+        key = (accum, size)
+        if key not in step_cache:
+            step_cache[key] = make_train_step(
+                step_plan, loss_fn, opt_cfg, mesh=mesh, accumulate=accum,
+                compute_dtype=tc.compute_dtype, freeze=tc.freeze,
+                resize_to=size, loss_scale=4.0 if tc.quad else 1.0)
+        return step_cache[key]
 
     loader = create_loader(train_ds, batch_size=tc.batch_size,
                            max_labels=tc.max_labels, seed=tc.seed,
@@ -278,7 +281,8 @@ def train(tc: TrainConfig, train_ds: Optional[DetectionDataset] = None,
     if anchors_override is not None:
         cfg_dict["anchors"] = anchors_override
     step = int(ts.step)
-    ni = step * accumulate  # integrated-batch counter (reference `ni`)
+    ni = start_epoch * nb  # integrated-batch counter (reference `ni`,
+    # train.py:345: ni = i + nb * epoch; resume restarts at the epoch head)
     dev_aug_fn = None  # built lazily when device-tail batches appear
     micro = []  # pending micro-batches; persists across epoch boundaries,
     # like the reference's global ni % accumulate cadence (train.py:384)
@@ -288,16 +292,22 @@ def train(tc: TrainConfig, train_ds: Optional[DetectionDataset] = None,
         for batch in loader:
             micro.append(batch)
             ni += 1
-            if len(micro) < accumulate:
+            # warmup accumulate ramp (reference train.py:352-353): early
+            # optimizer steps consume fewer micro-batches; the ramp value
+            # picks which compiled step program runs
+            accum_now = (warmup_accumulate(ni - 1, warmup_steps, accumulate)
+                         if tc.warmup_accumulate else accumulate)
+            if len(micro) < accum_now:
                 continue
+            acc = len(micro)
             epoch_frac = jnp.float32(epoch + 0.0)
             lr_groups, mom = warmup_factors(
                 jnp.float32(ni - 1), warmup_steps, epoch_frac, tc.epochs,
                 hyp["lr0"], hyp["lrf"], hyp["warmup_bias_lr"],
                 hyp["warmup_momentum"], hyp["momentum"],
                 cosine=not tc.linear_lr)
-            fn = (step_fns[sizes[size_rng.integers(len(sizes))]]
-                  if tc.multi_scale else step_fn)
+            fn = _get_step(acc, sizes[size_rng.integers(len(sizes))]
+                           if tc.multi_scale else None)
             if "tiles" in micro[0] or "canvases" in micro[0]:
                 # device-aug tail (data/device_aug.py): warp/HSV/flip/mixup
                 # run on-device; output is already normalized float
@@ -325,17 +335,16 @@ def train(tc: TrainConfig, train_ds: Optional[DetectionDataset] = None,
                     return dev_aug_fn(jnp.asarray(b["canvases"]), *rest)
 
                 aug_imgs = [_aug(b) for b in micro]
-                ims_dev = (jnp.stack(aug_imgs) if accumulate > 1
-                           else aug_imgs[0])
+                ims_dev = jnp.stack(aug_imgs) if acc > 1 else aug_imgs[0]
             else:
-                if accumulate > 1:
+                if acc > 1:
                     ims = np.stack([b["images"] for b in micro])
                 else:
                     ims = micro[0]["images"]
                 # ship raw uint8; the step normalizes on device
                 # (train/step.py loss_and_grad — 4x less H2D traffic)
                 ims_dev = jnp.asarray(ims)
-            if accumulate > 1:
+            if acc > 1:
                 lbs = np.stack([b["labels"] for b in micro])
                 mks = np.stack([b["label_mask"] for b in micro])
             else:
