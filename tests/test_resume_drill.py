@@ -43,8 +43,13 @@ def test_kill_and_scanner_relaunch(tmp_path):
            "--data", str(dy), "--img-size", "64", "--batch-size", "4",
            "--nbs", "4", "--epochs", "4", "--noval",
            "--project", str(project), "--name", "drill"]
+    # stdout goes to a FILE, not a PIPE: nobody drains the pipe while we
+    # poll for the checkpoint, and XLA's per-cache-load warnings alone can
+    # fill the 64 KB pipe buffer and deadlock the trainer mid-startup
+    log_path = tmp_path / "trainer.log"
+    log_f = open(log_path, "wb")
     proc = subprocess.Popen(cmd, env=env, cwd=str(Path.cwd()),
-                            stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+                            stdout=log_f, stderr=subprocess.STDOUT)
 
     # wait for at least one completed epoch checkpoint, then SIGKILL
     last = project / "drill" / "weights" / "last.ckpt"
@@ -59,7 +64,7 @@ def test_kill_and_scanner_relaunch(tmp_path):
                 except Exception:
                     pass  # mid-write
             if proc.poll() is not None:
-                out = proc.stdout.read().decode()
+                out = log_path.read_text(errors="replace")
                 raise AssertionError(f"trainer exited early:\n{out[-3000:]}")
             time.sleep(2.0)
         else:
@@ -68,6 +73,7 @@ def test_kill_and_scanner_relaunch(tmp_path):
         if proc.poll() is None:
             proc.send_signal(signal.SIGKILL)
             proc.wait()
+        log_f.close()
 
     run_dir = project / "drill"
     assert not (run_dir / "DONE").exists()
