@@ -54,12 +54,20 @@ def main():
     # init + fuse on the host CPU backend: eager per-layer init through the
     # TPU relay costs minutes; one device_put ships the final tree
     from yolo_series_tpu.models.faststem import make_fast_stem
+    from yolo_series_tpu.ops.pallas_elan import make_pallas_elan
+    from yolo_series_tpu.ops.pallas_stem import make_pallas_stem
 
     cpu = jax.local_devices(backend="cpu")[0]
     with jax.default_device(cpu):
         m = Model.from_yaml("yolo_series_tpu/models/cfg/deploy/yolov7.yaml")
         params, state = fuse_model(m.plan, m.params, m.state)
-        plan, params, state = make_fast_stem(m.plan, params, state, max_pairs=2)
+        # whole-stem + whole-ELAN Pallas kernels where they beat XLA
+        # (ops/pallas_stem.py, ops/pallas_elan.py) — the same transform
+        # stack the serving engine runs (infer/serving.py); make_fast_stem
+        # is a no-op when the Pallas stem consumed the stem convs
+        plan, params, state = make_pallas_stem(m.plan, params, state)
+        plan, params, state = make_fast_stem(plan, params, state, max_pairs=2)
+        plan, params, state = make_pallas_elan(plan, params, state)
     tpu = jax.devices()[0]
     params = jax.device_put(params, tpu)
     state = jax.device_put(state, tpu)

@@ -22,7 +22,8 @@ def fused_yolov7():
     return m.plan, params, state
 
 
-def test_stem_matches_and_rewrites(fused_yolov7):
+def test_stem_matches_and_rewrites(fused_yolov7, monkeypatch):
+    monkeypatch.setenv("YOLO_TPU_PALLAS_STEM", "1")
     plan, params, state = fused_yolov7
     assert ps._stem_matches(plan, params)
     plan2, params2, state2 = ps.make_pallas_stem(plan, params, state)
@@ -32,25 +33,28 @@ def test_stem_matches_and_rewrites(fused_yolov7):
     assert params2["layers"][2] == {} and params2["layers"][3] == {}
 
 
-def test_transform_noop_on_training_form():
+def test_transform_noop_on_training_form(monkeypatch):
     """BN-form params (no fuse_model) must leave the plan untouched."""
+    monkeypatch.setenv("YOLO_TPU_PALLAS_STEM", "1")
     m = Model.from_yaml("yolo_series_tpu/models/cfg/deploy/yolov7.yaml")
     plan2, _, _ = ps.make_pallas_stem(m.plan, m.params, m.state)
     assert plan2 is m.plan
 
 
-def test_transform_noop_on_tiny():
+def test_transform_noop_on_tiny(monkeypatch):
     """yolov7-tiny's stem is a different shape — must not match."""
+    monkeypatch.setenv("YOLO_TPU_PALLAS_STEM", "1")
     m = Model.from_yaml("yolo_series_tpu/models/cfg/deploy/yolov7-tiny.yaml")
     params, state = fuse_model(m.plan, m.params, m.state)
     plan2, _, _ = ps.make_pallas_stem(m.plan, params, state)
     assert plan2 is m.plan
 
 
-def test_fallback_whole_model_parity(fused_yolov7):
+def test_fallback_whole_model_parity(fused_yolov7, monkeypatch):
     """Off-TPU the FusedStem runs an XLA chain: same math as the original
     4-conv stem up to bf16 rounding of the re-partitioned convs; the
     whole-model serving output must agree within bf16 tolerance."""
+    monkeypatch.setenv("YOLO_TPU_PALLAS_STEM", "1")
     plan, params, state = fused_yolov7
     plan2, params2, state2 = ps.make_pallas_stem(plan, params, state)
     rng = np.random.default_rng(0)

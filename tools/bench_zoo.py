@@ -36,6 +36,7 @@ def bench_one(name: str, batch: int, iters: int) -> dict:
     from yolo_series_tpu.models.reparam import fuse_model
     from yolo_series_tpu.models.faststem import make_fast_stem
     from yolo_series_tpu.ops.pallas_elan import make_pallas_elan
+    from yolo_series_tpu.ops.pallas_stem import make_pallas_stem
     from yolo_series_tpu.ops.nms import fused_head_nms
 
     size = 1280 if name in P6 else 640
@@ -45,7 +46,8 @@ def bench_one(name: str, batch: int, iters: int) -> dict:
     with jax.default_device(cpu):
         m = Model.from_yaml(f"yolo_series_tpu/models/cfg/deploy/{name}.yaml")
         params, state = fuse_model(m.plan, m.params, m.state)
-        plan, params, state = make_fast_stem(m.plan, params, state,
+        plan, params, state = make_pallas_stem(m.plan, params, state)
+        plan, params, state = make_fast_stem(plan, params, state,
                                              max_pairs=2)
         plan, params, state = make_pallas_elan(plan, params, state)
     tpu = jax.devices()[0]

@@ -102,13 +102,15 @@ def build_serve(batch, size):
     from yolo_series_tpu.models.reparam import fuse_model
     from yolo_series_tpu.models.faststem import make_fast_stem
     from yolo_series_tpu.ops.pallas_elan import make_pallas_elan
+    from yolo_series_tpu.ops.pallas_stem import make_pallas_stem
     from yolo_series_tpu.ops.nms import fused_head_nms
 
     cpu = jax.local_devices(backend="cpu")[0]
     with jax.default_device(cpu):
         m = Model.from_yaml("yolo_series_tpu/models/cfg/deploy/yolov7.yaml")
         params, state = fuse_model(m.plan, m.params, m.state)
-        plan, params, state = make_fast_stem(m.plan, params, state,
+        plan, params, state = make_pallas_stem(m.plan, params, state)
+        plan, params, state = make_fast_stem(plan, params, state,
                                              max_pairs=2)
         plan, params, state = make_pallas_elan(plan, params, state)
     tpu = jax.devices()[0]
@@ -178,6 +180,9 @@ def build_train(batch, size):
         holder["ts"], met = step(holder["ts"], imgs, lbs, mks, lr, mom)
         return float(met["total"])
 
+    # expose the raw pieces for callers that want back-to-back dispatch
+    # (per-step fetch pays a full relay RTT on the dev tunnel)
+    run.raw = (step, holder, imgs, lbs, mks, lr, mom)
     return run
 
 

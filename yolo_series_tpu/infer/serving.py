@@ -44,7 +44,12 @@ class ServingEngine:
         camera bytes to detections in one program; detections are
         rescaled back to source pixels before returning."""
         if fast_stem:
+            # whole-stem Pallas kernel where the graph matches (P5 stems,
+            # ops/pallas_stem.py); make_fast_stem is a no-op afterwards
+            # (and handles the cfgs the Pallas stem doesn't match)
             from yolo_series_tpu.models.faststem import make_fast_stem
+            from yolo_series_tpu.ops.pallas_stem import make_pallas_stem
+            plan, params, state = make_pallas_stem(plan, params, state)
             plan, params, state = make_fast_stem(plan, params, state, max_pairs=2)
         if pallas_elan:
             # whole-ELAN-block Pallas kernels (ops/pallas_elan.py); falls

@@ -328,12 +328,23 @@ def _k2_taps(w2: np.ndarray) -> jnp.ndarray:
     return jnp.asarray(out, jnp.bfloat16)
 
 
+def _default_on() -> bool:
+    # flips to "1" once the kernel's on-TPU timing is verified on this
+    # chip (the remote Mosaic compile of the first attempt wedged the
+    # dev relay for hours — keep the transform opt-in until the cached
+    # compile exists); interpret mode always engages for tests
+    import os
+
+    return os.environ.get("YOLO_TPU_PALLAS_STEM", "0") == "1" or _interpret()
+
+
 def make_pallas_stem(plan: GraphPlan, params, state):
     """Rewrite the P5 stem (4 fused convs) into [k4/s2 phase conv,
     FusedStem, passthrough x2]. Apply after fuse_model, INSTEAD of
     make_fast_stem (it subsumes the fold). Returns inputs unchanged when
-    the stem doesn't match (P6 ReOrg stems, exotic cfgs)."""
-    if not _stem_matches(plan, params):
+    the stem doesn't match (P6 ReOrg stems, exotic cfgs) or the
+    transform is not enabled (YOLO_TPU_PALLAS_STEM)."""
+    if not _default_on() or not _stem_matches(plan, params):
         return plan, params, state
     layers = list(plan.layers)
     lp = list(params["layers"])
