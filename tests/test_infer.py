@@ -52,6 +52,43 @@ def test_dynamic_batcher(tiny_fused):
     batcher.close()
 
 
+def test_dynamic_batcher_concurrent_mapping(tiny_fused):
+    """16 client threads through the pipelined batcher: every client must
+    get the detections for ITS frame (the Triton-protocol invariant the
+    load benchmark assumes, tools/bench_serving.py), bit-equal to a
+    direct single-image engine call on the same input."""
+    import threading
+
+    from yolo_series_tpu.infer.serving import DynamicBatcher, ServingEngine
+
+    plan, params, state = tiny_fused
+    eng = ServingEngine(plan, params, state, batch_size=4, img_size=128,
+                        max_det=20, dtype=jnp.float32)
+    batcher = DynamicBatcher(eng, max_delay_ms=10)
+    rng = np.random.default_rng(7)
+    frames = [rng.integers(0, 255, (128, 128, 3), dtype=np.uint8)
+              for _ in range(16)]
+    expected = [eng.infer(f[None]) for f in frames]
+    results = [None] * 16
+
+    def client(i):
+        s = batcher.submit(frames[i])
+        results[i] = DynamicBatcher.wait(s, timeout=120)
+
+    threads = [threading.Thread(target=client, args=(i,)) for i in range(16)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    batcher.close()
+    for i in range(16):
+        assert results[i] is not None, i
+        np.testing.assert_array_equal(results[i]["num_dets"],
+                                      expected[i]["num_dets"][0])
+        np.testing.assert_allclose(results[i]["det_boxes"],
+                                   expected[i]["det_boxes"][0], atol=1e-3)
+
+
 def test_int8_quantization_close_to_fp(tiny_fused):
     from yolo_series_tpu.infer.quant import quantize_model
 
