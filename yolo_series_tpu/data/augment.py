@@ -61,14 +61,14 @@ def augment_hsv(img, hgain=0.015, sgain=0.7, vgain=0.4, rng=None):
     """In-place LUT-based HSV jitter (reference datasets.py:976-987)."""
     rng = rng or random
     r = np.array([rng.uniform(-1, 1) for _ in range(3)]) * [hgain, sgain, vgain] + 1
-    hue, sat, val = cv2.split(cv2.cvtColor(img, cv2.COLOR_BGR2HSV))
     x = np.arange(0, 256, dtype=np.int16)
-    lut_hue = ((x * r[0]) % 180).astype(np.uint8)
-    lut_sat = np.clip(x * r[1], 0, 255).astype(np.uint8)
-    lut_val = np.clip(x * r[2], 0, 255).astype(np.uint8)
-    img_hsv = cv2.merge((cv2.LUT(hue.astype(np.uint8), lut_hue),
-                         cv2.LUT(sat.astype(np.uint8), lut_sat),
-                         cv2.LUT(val.astype(np.uint8), lut_val)))
+    # one 3-channel LUT == the reference's split + per-channel LUTs +
+    # merge, applied in a single pass (~5% of the host aug budget)
+    lut = np.stack([((x * r[0]) % 180).astype(np.uint8),
+                    np.clip(x * r[1], 0, 255).astype(np.uint8),
+                    np.clip(x * r[2], 0, 255).astype(np.uint8)],
+                   axis=-1).reshape(256, 1, 3)
+    img_hsv = cv2.LUT(cv2.cvtColor(img, cv2.COLOR_BGR2HSV), lut)
     cv2.cvtColor(img_hsv, cv2.COLOR_HSV2BGR, dst=img)
     return img
 
