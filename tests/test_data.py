@@ -421,3 +421,38 @@ def test_quad_collate_matches_reference(coco_tree):
             order_g = np.lexsort(got.T)
             np.testing.assert_allclose(got[order_g], want[order_w],
                                        atol=1e-5)
+
+
+def test_fast_decode_matches_full(tmp_path):
+    """fast_decode (reduced-scale JPEG decode, documented deviation) must
+    keep the (img, hw0, hw) contract and stay pixel-close to the
+    full-decode + INTER_AREA path for >=2x-downscaled images."""
+    import cv2
+
+    from yolo_series_tpu.data.datasets import DetectionDataset
+
+    (tmp_path / "images").mkdir()
+    (tmp_path / "labels").mkdir()
+    rng = np.random.default_rng(3)
+    files = []
+    for i, (h, w) in enumerate([(1500, 2000), (900, 1400), (500, 640)]):
+        img = cv2.GaussianBlur(
+            rng.integers(0, 255, (h, w, 3), np.uint8), (0, 0), 5)
+        p = tmp_path / "images" / f"im{i}.jpg"
+        cv2.imwrite(str(p), img, [cv2.IMWRITE_JPEG_QUALITY, 92])
+        (tmp_path / "labels" / f"im{i}.txt").write_text(
+            "0 0.5 0.5 0.2 0.2\n")
+        files.append(str(p))
+    (tmp_path / "train.txt").write_text("\n".join(files))
+
+    slow = DetectionDataset(str(tmp_path / "train.txt"), img_size=640,
+                            batch_size=2, augment=False)
+    fast = DetectionDataset(str(tmp_path / "train.txt"), img_size=640,
+                            batch_size=2, augment=False, fast_decode=True)
+    for i in range(3):
+        im_s, hw0_s, hw_s = slow.load_image(i)
+        im_f, hw0_f, hw_f = fast.load_image(i)
+        assert hw0_s == hw0_f and hw_s == hw_f
+        assert im_s.shape == im_f.shape
+        d = np.abs(im_s.astype(np.float32) - im_f.astype(np.float32))
+        assert d.mean() < 6.0, (i, d.mean())

@@ -178,11 +178,18 @@ class DetectionDataset:
                  hyp: Optional[dict] = None, rect=False, image_weights=False,
                  stride=32, pad=0.0, kind="coco", odgt_paths=(),
                  xml_dir=None, cut_max_len=-1, cache_path=None, prefix="",
-                 cache_images=False, device_tail=False):
+                 cache_images=False, device_tail=False, fast_decode=False):
         # device_tail: host does decode + mosaic compose + label math only;
         # warp/HSV/flips/mixup run on-device (data/device_aug.py). Training
         # aug path only — rect/eval keeps the host letterbox.
         self.device_tail = device_tail and augment
+        # fast_decode: DCT-domain reduced JPEG decode when the image will
+        # be downscaled >= 2x anyway. DOCUMENTED DEVIATION from the
+        # reference (datasets.py:959-973 always full-decodes then
+        # resizes): the resampled pixels differ slightly (decoder-level
+        # vs INTER_AREA averaging), so it is opt-in — use for large-image
+        # datasets (CrowdHuman) where decode dominates the host budget.
+        self.fast_decode = fast_decode
         self.img_size = img_size
         self.augment = augment
         self.hyp = dict(DEFAULT_HYP, **(hyp or {}))
@@ -264,13 +271,29 @@ class DetectionDataset:
 
     def _read_resize(self, i):
         path = self.im_files[i]
-        img = cv2.imread(path)
-        assert img is not None, f"image not found {path}"
-        h0, w0 = img.shape[:2]
+        img = None
+        h0 = w0 = None
+        if self.fast_decode and self.shapes is not None:
+            # decode at 1/2 or 1/4 scale inside the JPEG decoder when the
+            # target is at least that much smaller (shapes come from the
+            # label cache, so no full decode is needed to know them)
+            w0, h0 = int(self.shapes[i][0]), int(self.shapes[i][1])
+            r = self.img_size / max(h0, w0)
+            if r <= 0.25:
+                img = cv2.imread(path, cv2.IMREAD_REDUCED_COLOR_4)
+            elif r <= 0.5:
+                img = cv2.imread(path, cv2.IMREAD_REDUCED_COLOR_2)
+            if img is not None and img.ndim == 2:
+                img = cv2.cvtColor(img, cv2.COLOR_GRAY2BGR)
+        if img is None:
+            img = cv2.imread(path)
+            assert img is not None, f"image not found {path}"
+            h0, w0 = img.shape[:2]
         r = self.img_size / max(h0, w0)
-        if r != 1:
+        tw, th = int(w0 * r), int(h0 * r)
+        if img.shape[:2] != (th, tw):
             interp = cv2.INTER_AREA if r < 1 and not self.augment else cv2.INTER_LINEAR
-            img = cv2.resize(img, (int(w0 * r), int(h0 * r)), interpolation=interp)
+            img = cv2.resize(img, (tw, th), interpolation=interp)
         return img, (h0, w0), img.shape[:2]
 
     def load_image(self, i):

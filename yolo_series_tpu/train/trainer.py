@@ -78,6 +78,8 @@ class TrainConfig:
     image_weights: bool = False   # class-weighted epoch resampling
     device_aug: bool = False      # warp/HSV/flip/mixup on-device
     cache_images: bool = False    # RAM-cache decoded images (train --cache)
+    fast_decode: bool = False     # reduced-scale JPEG decode (documented
+    # deviation: decoder-level downscale vs INTER_AREA; see datasets.py)
     fast_stem: bool = True        # phase-folded stem in the train step
     # (SGD-equivalent weight reshuffle, models/faststem.make_train_fast_stem)
     quad: bool = False            # quad collate: 4 samples -> one 2x image
@@ -162,7 +164,8 @@ def train(tc: TrainConfig, train_ds: Optional[DetectionDataset] = None,
                         [data_cfg.get("crowd_human_train_label_file")] if p],
             xml_dir=data_cfg.get("safety_helmet_dataset_label_dir"),
             cut_max_len=int(data_cfg.get("cut_max_len", -1)),
-            device_tail=tc.device_aug, cache_images=tc.cache_images)
+            device_tail=tc.device_aug, cache_images=tc.cache_images,
+            fast_decode=tc.fast_decode)
     anchors_override = None
     if tc.autoanchor and not tc.resume:
         try:
