@@ -19,6 +19,10 @@ CFGS = {
     "training/yolov7": "cfg/training/yolov7.yaml",
     # P6 path: ReOrg stem, DownC, IAuxDetect (lead-only decode at eval)
     "training/yolov7-w6": "cfg/training/yolov7-w6.yaml",
+    # width/depth-scaled P5 (the 1.25x/1.0x gains exercise make_divisible)
+    "training/yolov7x": "cfg/training/yolov7x.yaml",
+    # E-ELAN (doubled-tap aggregation) + DownC at e6e scale
+    "training/yolov7-e6e": "cfg/training/yolov7-e6e.yaml",
     # baseline family (VERDICT r1 item 3): Bottleneck/CSPB/CSPC + plain
     # Detect (yolov4-csp) and IDetect (yolor-csp) paths
     "baseline/yolor-csp": "cfg/baseline/yolor-csp.yaml",
