@@ -15,6 +15,7 @@ pytestmark = pytest.mark.skipif(not has_reference(), reason="reference repo unav
 
 CFGS = {
     "deploy/yolov7-tiny": "cfg/deploy/yolov7-tiny.yaml",
+    "deploy/yolov7": "cfg/deploy/yolov7.yaml",  # the serving/bench graph
     "training/yolov7-tiny": "cfg/training/yolov7-tiny.yaml",
     "training/yolov7": "cfg/training/yolov7.yaml",
     # P6 path: ReOrg stem, DownC, IAuxDetect (lead-only decode at eval)
@@ -23,6 +24,8 @@ CFGS = {
     "training/yolov7x": "cfg/training/yolov7x.yaml",
     # E-ELAN (doubled-tap aggregation) + DownC at e6e scale
     "training/yolov7-e6e": "cfg/training/yolov7-e6e.yaml",
+    "training/yolov7-e6": "cfg/training/yolov7-e6.yaml",
+    "training/yolov7-d6": "cfg/training/yolov7-d6.yaml",
     # baseline family (VERDICT r1 item 3): Bottleneck/CSPB/CSPC + plain
     # Detect (yolov4-csp) and IDetect (yolor-csp) paths
     "baseline/yolor-csp": "cfg/baseline/yolor-csp.yaml",
