@@ -245,3 +245,38 @@ def test_classify_block_parity():
     got, _ = blk.apply(params, state, jnp.asarray(x.transpose(0, 2, 3, 1)),
                        Ctx(training=False))
     np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("name", ["training/yolov7", "training/yolov7-w6"])
+def test_torch_export_roundtrip_parity(name):
+    """INVERSE bridge (models/torch_export.py): a model initialized HERE,
+    exported into the reference torch Model, must decode identically —
+    the interop a reference user migrating their training needs. Covers
+    the IDetect (yolov7) and IAuxDetect/P6 (w6) head exports."""
+    import torch
+
+    import jax
+    import jax.numpy as jnp
+    from yolo_series_tpu.models.model import Model as JModel, apply_model
+    from yolo_series_tpu.models.torch_export import load_into_reference_model
+
+    ref = load_reference()
+    m = JModel.from_yaml(f"yolo_series_tpu/models/cfg/{name}.yaml",
+                         key=jax.random.PRNGKey(3))
+    ref_model = ref["Model"](f"/root/reference/{CFGS[name]}",
+                             ch=3, nc=80).float().eval()
+    load_into_reference_model(ref_model, m.plan, m.params, m.state)
+
+    img = 256
+    rng = np.random.default_rng(3)
+    x = rng.uniform(0, 1, (1, 3, img, img)).astype(np.float32)
+    with torch.no_grad():
+        ref_pred = ref_model(torch.from_numpy(x))[0].numpy()
+    out, _ = apply_model(m.plan, m.params, m.state,
+                         jnp.asarray(x.transpose(0, 2, 3, 1)), training=False)
+    got = np.asarray(out["pred"])
+    assert got.shape == ref_pred.shape
+    np.testing.assert_allclose(got[..., :4], ref_pred[..., :4],
+                               rtol=1e-4, atol=1e-2)
+    np.testing.assert_allclose(got[..., 4:], ref_pred[..., 4:],
+                               rtol=1e-4, atol=1e-5)
