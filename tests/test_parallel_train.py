@@ -303,3 +303,50 @@ def test_multiscale_resize_preserves_label_geometry():
     exact = np.interp(u, np.arange(src), np.linspace(0.0, 1.0, src))
     np.testing.assert_allclose(rout[0, 8, interior, 0], exact[interior],
                                atol=1e-5)
+
+
+def test_fused_serving_tensor_parallel_equals_single_device():
+    """TP serving: conv weights column-sharded over the 'model' axis
+    (parallel/mesh.param_partition_specs) on a 2x4 (data, model) mesh ==
+    single-device results. This is the latency-scaling deployment shape
+    (weights sharded, XLA inserts the gathers over ICI) the reserved
+    'model' axis exists for."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from yolo_series_tpu.models.model import Model, apply_model
+    from yolo_series_tpu.models.reparam import fuse_model
+    from yolo_series_tpu.ops.nms import fused_head_nms
+    from yolo_series_tpu.parallel.mesh import make_mesh, param_partition_specs
+
+    m = Model.from_yaml("yolo_series_tpu/models/cfg/deploy/yolov7-tiny.yaml")
+    params, state = fuse_model(m.plan, m.params, m.state)
+    plan = m.plan
+    head = plan.head
+
+    def serve(params, x):
+        xf = x.astype(jnp.float32) / 255.0
+        feats, _ = apply_model(plan, params, state, xf, training=False,
+                               return_head_inputs=True)
+        return fused_head_nms(head, params["layers"][-1], feats,
+                              conf_thres=0.25, iou_thres=0.45, max_det=50,
+                              max_nms=256, compute_dtype=jnp.float32)
+
+    rng = np.random.default_rng(1)
+    x = rng.integers(0, 255, (4, 160, 160, 3)).astype(np.uint8)
+
+    want = jax.jit(serve)(params, jnp.asarray(x))
+
+    mesh = make_mesh(n_data=2, n_model=4)
+    pspec = param_partition_specs(params, 4)
+    psh = jax.tree_util.tree_map(
+        lambda sp: NamedSharding(mesh, sp), pspec)
+    params_tp = jax.tree_util.tree_map(jax.device_put, params, psh)
+    bsh = NamedSharding(mesh, P("data"))
+    xs = jax.device_put(jnp.asarray(x), bsh)
+    got = jax.jit(serve, in_shardings=(psh, bsh))(params_tp, xs)
+
+    for a, b in zip(want, got):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-4)
