@@ -212,3 +212,15 @@ def test_serving_device_ingest_matches_host_letterbox():
         np.testing.assert_allclose(np.asarray(out_dev["det_scores"][b][:n]),
                                    np.asarray(out_host["det_scores"][b][:n]),
                                    rtol=5e-2, atol=1e-3)
+
+
+def test_hub_create_and_detect():
+    """torch.hub-surface smoke (hub.py, reference hubconf.py:22-83):
+    create() returns an inference-ready Detector."""
+    from yolo_series_tpu import hub
+
+    det = hub.create("yolov7-tiny", img_size=128)
+    img = np.random.default_rng(0).integers(
+        0, 255, (160, 200, 3), dtype=np.uint8)
+    rows = det(img)
+    assert isinstance(rows, np.ndarray) and rows.shape[1] == 6
