@@ -224,3 +224,41 @@ def test_hub_create_and_detect():
         0, 255, (160, 200, 3), dtype=np.uint8)
     rows = det(img)
     assert isinstance(rows, np.ndarray) and rows.shape[1] == 6
+
+
+def test_export_cli_roundtrip(tmp_path, monkeypatch):
+    """cli.export (the export_onnx.py-equivalent deploy pipeline): native
+    ckpt -> fuse -> deploy ckpt + StableHLO serialization; the deploy
+    ckpt loads and detects."""
+    import sys
+    import yaml as _yaml
+
+    from yolo_series_tpu.models.model import init_model
+    from yolo_series_tpu.models.graph import compile_graph
+    from yolo_series_tpu.train.checkpoints import save_checkpoint
+    from yolo_series_tpu.train.optim import OptimConfig
+    from yolo_series_tpu.train.step import init_train_state
+
+    cfg_path = "yolo_series_tpu/models/cfg/training/yolov7-tiny.yaml"
+    plan = compile_graph(cfg_path)
+    params, state = init_model(plan, jax.random.PRNGKey(1))
+    ts = init_train_state(params, state, OptimConfig())
+    ckpt = tmp_path / "last.ckpt"
+    save_checkpoint(str(ckpt), ts, _yaml.safe_load(open(cfg_path)), epoch=0)
+
+    out_mlir = tmp_path / "engine.mlir"
+    argv = ["export", "--weights", str(ckpt), "--img-size", "128",
+            "--batch-size", "1", "--max-det", "10",
+            "--stablehlo", str(out_mlir)]
+    monkeypatch.setattr(sys, "argv", argv)
+    from yolo_series_tpu.cli.export import main as export_main
+    export_main()
+
+    deploy = ckpt.with_suffix("").as_posix() + ".deploy.ckpt"
+    from yolo_series_tpu.infer.detector import Detector
+    det = Detector.from_checkpoint(deploy, img_size=128, dtype=jnp.float32)
+    img = np.random.default_rng(0).integers(0, 255, (140, 160, 3),
+                                            dtype=np.uint8)
+    rows = det(img)
+    assert rows.shape[1] == 6
+    assert out_mlir.exists() and out_mlir.stat().st_size > 10_000
