@@ -456,3 +456,38 @@ def test_fast_decode_matches_full(tmp_path):
         assert im_s.shape == im_f.shape
         d = np.abs(im_s.astype(np.float32) - im_f.astype(np.float32))
         assert d.mean() < 6.0, (i, d.mean())
+
+
+def test_loader_workers_preserve_batch_order(coco_tree):
+    """workers=3 must yield the SAME batches in the SAME order as
+    workers=1 (deterministic content with augment=False), and the buffer
+    pool must never recycle a held buffer (hold=2 consumer)."""
+    from yolo_series_tpu.data.datasets import DetectionDataset, create_loader
+
+    root, _ = coco_tree
+    ds = DetectionDataset(str(root / "images"), img_size=128,
+                          batch_size=2, augment=False)
+    want = [
+        (b["images"].copy(), b["labels"].copy(), list(b["paths"]))
+        for b in create_loader(ds, batch_size=2, shuffle=True, seed=5,
+                               max_labels=16, drop_last=False)
+    ]
+    ld = create_loader(ds, batch_size=2, shuffle=True, seed=5,
+                       max_labels=16, drop_last=False, workers=3, hold=2)
+    held = []
+    got = []
+    for b in ld:
+        held.append(b)          # consumer retains up to `hold` batches
+        if len(held) == 2:
+            for hb in held:
+                got.append((hb["images"].copy(), hb["labels"].copy(),
+                            list(hb["paths"])))
+            held = []
+    for hb in held:
+        got.append((hb["images"].copy(), hb["labels"].copy(),
+                    list(hb["paths"])))
+    assert len(got) == len(want)
+    for (wi, wl, wp), (gi, gl, gp) in zip(want, got):
+        assert wp == gp
+        np.testing.assert_array_equal(wi, gi)
+        np.testing.assert_array_equal(wl, gl)

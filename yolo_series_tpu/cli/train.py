@@ -41,6 +41,8 @@ def make_parser():
                         "(host keeps decode + mosaic compose)")
     p.add_argument("--cache-images", action="store_true",
                    help="RAM-cache decoded images (reference --cache)")
+    p.add_argument("--workers", type=int, default=1,
+                   help="loader decode threads (reference --workers)")
     p.add_argument("--fast-decode", action="store_true",
                    help="reduced-scale JPEG decode for >=2x-downscaled "
                         "images (documented pixel deviation; big-image "
@@ -110,7 +112,7 @@ def main():
             n_data_devices=opt.devices, multi_scale=opt.multi_scale,
             freeze=opt.freeze, image_weights=opt.image_weights,
             device_aug=opt.device_aug, cache_images=opt.cache_images,
-            fast_decode=opt.fast_decode, quad=opt.quad,
+            fast_decode=opt.fast_decode, quad=opt.quad, workers=opt.workers,
             warmup_accumulate=not opt.no_warmup_accumulate)
     if opt.evolve:
         from yolo_series_tpu.train.evolve import evolve

@@ -622,7 +622,7 @@ class create_loader:
     def __init__(self, dataset: DetectionDataset, batch_size=16,
                  shuffle=True, max_labels=256, drop_last=True, seed=0,
                  prefetch=2, image_weights=False, class_weights=None,
-                 hold=1, quad=False):
+                 hold=1, quad=False, workers=1):
         self.ds = dataset
         self.bs = batch_size
         # quad collate (reference collate_fn4, datasets.py:931-955): every
@@ -649,8 +649,15 @@ class create_loader:
         # gradient-accumulation micro-batches); sizes the buffer pool so the
         # prefetch worker can never recycle a buffer the consumer still holds
         self.hold = max(int(hold), 1)
+        # workers>1 = the reference's DataLoader num_workers (train.py
+        # `--workers 8`): N decode threads, cv2/numpy release the GIL so
+        # JPEG decode + aug scale across cores on real hosts. Batch ORDER
+        # is preserved (batch i comes from worker i%N); the per-sample rng
+        # stream differs from workers=1, as it does in the reference.
+        self.workers = max(int(workers), 1)
         self._pools: dict = {}
         self._pool_pos: dict = {}
+        self._pool_lock = threading.Lock()
         _tune_malloc_for_buffers()
 
     def __len__(self):
@@ -669,18 +676,22 @@ class create_loader:
         worker, `hold` retained + 1 in-hand in the consumer) so the worker
         can never recycle a buffer the consumer still references.
         """
-        pool = self._pools.get(key)
-        if pool is None or pool[0].shape != shape or pool[0].dtype != dtype:
-            pool = []
-            for _ in range(self.prefetch + self.hold + 2):
-                a = np.empty(shape, dtype)
-                a.fill(0)  # force page-in once, up front
-                pool.append(a)
-            self._pools[key] = pool
-            self._pool_pos[key] = 0
-        i = self._pool_pos[key]
-        self._pool_pos[key] = (i + 1) % len(pool)
-        return pool[i]
+        with self._pool_lock:
+            pool = self._pools.get(key)
+            if pool is None or pool[0].shape != shape or pool[0].dtype != dtype:
+                pool = []
+                # workers*(prefetch queued + 1 in-flight) + hold retained
+                # + 1 in-hand in the consumer
+                for _ in range(self.workers * (self.prefetch + 1)
+                               + self.hold + 1):
+                    a = np.empty(shape, dtype)
+                    a.fill(0)  # force page-in once, up front
+                    pool.append(a)
+                self._pools[key] = pool
+                self._pool_pos[key] = 0
+            i = self._pool_pos[key]
+            self._pool_pos[key] = (i + 1) % len(pool)
+            return pool[i]
 
     def _make_batch(self, idxs):
         if getattr(self.ds, "device_tail", False):
@@ -805,25 +816,23 @@ class create_loader:
         nb = len(self)
         batches = [order[i * self.bs:(i + 1) * self.bs] for i in range(nb)]
 
-        q: queue_mod.Queue = queue_mod.Queue(maxsize=self.prefetch)
-        stop = object()
+        w = self.workers
+        qs = [queue_mod.Queue(maxsize=self.prefetch) for _ in range(w)]
 
-        def worker():
+        def worker(wid):
             try:
-                for idxs in batches:
-                    q.put(self._make_batch(idxs))
-                q.put(stop)
+                for bi in range(wid, nb, w):
+                    qs[wid].put(self._make_batch(batches[bi]))
             except BaseException as e:  # noqa: BLE001 — surface in consumer
                 # a corrupt image/label must FAIL the epoch, not silently
                 # truncate it: hand the exception to the consumer loop
-                q.put(e)
+                qs[wid].put(e)
 
-        t = threading.Thread(target=worker, daemon=True)
-        t.start()
-        while True:
-            item = q.get()
-            if item is stop:
-                break
+        for wid in range(w):
+            threading.Thread(target=worker, args=(wid,), daemon=True).start()
+        # in-order delivery: batch i always comes from worker i % w
+        for bi in range(nb):
+            item = qs[bi % w].get()
             if isinstance(item, BaseException):
                 raise item
             yield item

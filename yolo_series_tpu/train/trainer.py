@@ -80,6 +80,8 @@ class TrainConfig:
     cache_images: bool = False    # RAM-cache decoded images (train --cache)
     fast_decode: bool = False     # reduced-scale JPEG decode (documented
     # deviation: decoder-level downscale vs INTER_AREA; see datasets.py)
+    workers: int = 1              # loader decode threads (reference
+    # train.py --workers 8; cv2/numpy release the GIL)
     fast_stem: bool = True        # phase-folded stem in the train step
     # (SGD-equivalent weight reshuffle, models/faststem.make_train_fast_stem)
     quad: bool = False            # quad collate: 4 samples -> one 2x image
@@ -267,7 +269,8 @@ def train(tc: TrainConfig, train_ds: Optional[DetectionDataset] = None,
     loader = create_loader(train_ds, batch_size=tc.batch_size,
                            max_labels=tc.max_labels, seed=tc.seed,
                            image_weights=tc.image_weights,
-                           hold=accumulate, quad=tc.quad)
+                           hold=accumulate, quad=tc.quad,
+                           workers=tc.workers)
     nb = len(loader)
     warmup_steps = max(round(hyp["warmup_epochs"] * nb), tc.warmup_min_steps)
 
