@@ -59,6 +59,9 @@ def main():
                     help="host half only: mosaic compose + label math "
                          "(warp/HSV/flip/mixup run on device)")
     ap.add_argument("--cache-images", action="store_true")
+    ap.add_argument("--workers", type=int, default=1,
+                    help="loader decode threads (reference --workers)")
+    ap.add_argument("--fast-decode", action="store_true")
     args = ap.parse_args()
 
     from yolo_series_tpu.data.datasets import DetectionDataset, create_loader
@@ -70,8 +73,10 @@ def main():
                               augment=not args.no_augment,
                               device_tail=args.device_tail,
                               cache_images=args.cache_images,
+                              fast_decode=args.fast_decode,
                               cache_path=str(root / "cache.npz"))
-        loader = create_loader(ds, batch_size=args.bs, shuffle=True)
+        loader = create_loader(ds, batch_size=args.bs, shuffle=True,
+                               workers=args.workers)
 
         # warm epoch (label cache, allocator)
         for _ in loader:
@@ -91,6 +96,7 @@ def main():
                "augment": not args.no_augment,
                "device_tail": args.device_tail,
                "cache_images": args.cache_images,
+               "workers": args.workers,
                "feeds_119imgs_consumer": rate > 119.0}
         print(json.dumps(out))
 
