@@ -43,7 +43,8 @@ def run_eval(opt, img_size=None):
         xml_dir=data.get("safety_helmet_dataset_label_dir"),
         cut_max_len=int(data.get("cut_max_len", -1)))
     loader = create_loader(ds, batch_size=opt.batch_size, shuffle=False,
-                           max_labels=opt.max_labels, drop_last=False)
+                           max_labels=opt.max_labels, drop_last=False,
+                           workers=opt.workers)
 
     res = evaluate(
         plan, params, state, loader, conf_thres=opt.conf_thres,
@@ -76,6 +77,8 @@ def main():
     p.add_argument("--conf-thres", type=float, default=0.001)
     p.add_argument("--iou-thres", type=float, default=0.65)
     p.add_argument("--max-labels", type=int, default=256)
+    p.add_argument("--workers", type=int, default=1,
+                   help="loader decode threads (reference --workers)")
     p.add_argument("--task", default="val", choices=["val", "test", "speed", "study"])
     p.add_argument("--half", action="store_true")
     p.add_argument("--augment", action="store_true", help="TTA eval")
