@@ -141,6 +141,58 @@ def test_loader_pool_survives_held_microbatches(tmp_path):
         held, snaps = [], []
 
 
+def test_loader_multiworker_pools_are_per_worker(tmp_path):
+    """Workers must never share pooled buffers. The FIFO-release argument
+    behind round-robin recycling holds only per worker: with ONE pool
+    shared across workers, a lagging worker's allocations interleave
+    arbitrarily with a fast worker's releases, and w=2/prefetch=1/hold=1
+    admits an interleaving that hands a worker the buffer backing a batch
+    the consumer still retains (round-3 session-3 finding)."""
+    import sys
+    import time
+
+    sys.path.insert(0, "/root/repo")
+    from tools.bench_loader import make_synthetic_dataset
+
+    files = make_synthetic_dataset(tmp_path, 48, hw=(96, 128))
+    ds = DetectionDataset(files, img_size=96, batch_size=2, augment=False,
+                          cache_path=str(tmp_path / "c.npz"))
+
+    class Skewed:
+        """Worker 1's samples decode slowly (batch bi comes from worker
+        bi % 2; sample i belongs to batch i // 2)."""
+
+        labels = ds.labels
+        nc = getattr(ds, "nc", None)
+
+        def __len__(self):
+            return len(ds)
+
+        def __getitem__(self, i):
+            if (i // 2) % 2 == 1:
+                time.sleep(0.01)
+            return ds[i]
+
+    hold = 2
+    loader = create_loader(Skewed(), batch_size=2, max_labels=32,
+                           shuffle=False, workers=2, hold=hold, prefetch=1)
+    buf_ids = {0: set(), 1: set()}
+    held, snaps = [], []
+    for bi, batch in enumerate(loader):
+        buf_ids[bi % 2].add(id(batch["images"]))
+        held.append(batch)
+        snaps.append(batch["images"].copy())
+        if len(held) < hold:
+            continue
+        time.sleep(0.05)  # let both workers run fully ahead
+        for b, snap in zip(held, snaps):
+            np.testing.assert_array_equal(b["images"], snap)
+        held, snaps = [], []
+    # per-worker pools are disjoint and bounded by prefetch + hold + 2
+    assert not (buf_ids[0] & buf_ids[1])
+    assert max(len(v) for v in buf_ids.values()) <= 1 + hold + 2
+
+
 def test_loader_propagates_worker_errors(coco_tree):
     """A corrupt sample must fail the epoch loudly, not truncate it."""
     import pytest

@@ -642,7 +642,9 @@ class create_loader:
         self.drop_last = drop_last
         self.seed = seed
         self.epoch = 0
-        self.prefetch = prefetch
+        # >= 1: Queue(0) is UNBOUNDED, which would let a worker race
+        # arbitrarily far ahead of the buffer-pool contract
+        self.prefetch = max(int(prefetch), 1)
         self.image_weights = image_weights
         self.class_weights = class_weights
         # `hold` = max batches the consumer retains before consuming (e.g.
@@ -671,19 +673,28 @@ class create_loader:
         ballooned VMs (measured: first touch of a 78 MB buffer ~10 s, warm
         reuse 25 ms), so the loader never allocates batch storage per
         batch. Contract: a yielded batch's arrays are valid while the
-        consumer holds at most `hold` un-consumed batches; the pool is
-        sized `prefetch + hold + 2` (prefetch queued + 1 in-flight in the
-        worker, `hold` retained + 1 in-hand in the consumer) so the worker
-        can never recycle a buffer the consumer still references.
+        consumer holds at most `hold` un-consumed batches.
+
+        Each pool is PER WORKER (`key` includes the worker id): within one
+        worker, buffers are allocated in that worker's batch order, and —
+        because the consumer takes batches in global order and retains only
+        the most recent `hold` — they are also released in that order
+        (FIFO). With FIFO release, round-robin reuse is safe iff the pool
+        is at least max-live: if the buffer about to be reused were still
+        live, every later same-worker allocation would be live too
+        (pool_size + 1 live > max live, contradiction). Per-worker max
+        live = prefetch queued + 1 in-flight + hold retained + 1 in-hand.
+        A single pool shared across workers has NO such order guarantee
+        (a lagging worker's allocations interleave arbitrarily with a fast
+        worker's releases), so pools are never shared between workers.
         """
         with self._pool_lock:
             pool = self._pools.get(key)
             if pool is None or pool[0].shape != shape or pool[0].dtype != dtype:
                 pool = []
-                # workers*(prefetch queued + 1 in-flight) + hold retained
-                # + 1 in-hand in the consumer
-                for _ in range(self.workers * (self.prefetch + 1)
-                               + self.hold + 1):
+                # prefetch queued + 1 in-flight (this worker) + hold
+                # retained + 1 in-hand (consumer)
+                for _ in range(self.prefetch + self.hold + 2):
                     a = np.empty(shape, dtype)
                     a.fill(0)  # force page-in once, up front
                     pool.append(a)
@@ -693,15 +704,15 @@ class create_loader:
             self._pool_pos[key] = (i + 1) % len(pool)
             return pool[i]
 
-    def _make_batch(self, idxs):
+    def _make_batch(self, idxs, wid=0):
         if getattr(self.ds, "device_tail", False):
-            return self._make_device_batch(idxs)
+            return self._make_device_batch(idxs, wid)
         items = [self.ds[i] for i in idxs]
         if self.quad:
             items = [self._quad_item(items[i:i + 4])
                      for i in range(0, len(items) - 3, 4)]
         shape = (len(items),) + items[0][0].shape
-        imgs = self._pooled("images", shape)
+        imgs = self._pooled(("images", wid), shape)
         for k, it in enumerate(items):
             imgs[k] = it[0]
         labels, mask = pad_labels([it[1] for it in items], self.max_labels)
@@ -739,7 +750,7 @@ class create_loader:
                   else np.zeros((0, 5), np.float32))
         return im, lb, group[0][2], group[0][3]
 
-    def _make_device_batch(self, idxs):
+    def _make_device_batch(self, idxs, wid=0):
         """Collate for the device-aug tail: canvases + warp/HSV/flip params.
         Mixup pairs two in-batch samples (same (aug, aug) distribution as
         the reference's second-mosaic blend, datasets.py:840-847, without
@@ -771,7 +782,7 @@ class create_loader:
         # exactly once (a separate canvases array doubled H2D bytes —
         # 6 s/batch on the 27 MB/s dev tunnel). A host-composed 2s canvas
         # (mosaic9 / copy-paste fallback) is its own 4 quadrant tiles.
-        tiles = self._pooled("tiles", (b, 4, s, s, 3))
+        tiles = self._pooled(("tiles", wid), (b, 4, s, s, 3))
         origins = np.zeros((b, 4, 2), np.float32)
         centers = np.zeros((b, 2), np.float32)
         quad_org = np.array([[0, 0], [0, s], [s, 0], [s, s]], np.float32)
@@ -822,7 +833,7 @@ class create_loader:
         def worker(wid):
             try:
                 for bi in range(wid, nb, w):
-                    qs[wid].put(self._make_batch(batches[bi]))
+                    qs[wid].put(self._make_batch(batches[bi], wid))
             except BaseException as e:  # noqa: BLE001 — surface in consumer
                 # a corrupt image/label must FAIL the epoch, not silently
                 # truncate it: hand the exception to the consumer loop
