@@ -193,6 +193,20 @@ def test_loader_multiworker_pools_are_per_worker(tmp_path):
     assert max(len(v) for v in buf_ids.values()) <= 1 + hold + 2
 
 
+def test_single_cls_zeroes_classes(coco_tree):
+    """--single-cls (reference datasets.py:452): every label class becomes
+    0; boxes are untouched."""
+    root, _ = coco_tree
+    ds = DetectionDataset(str(root / "images"), img_size=320, batch_size=4,
+                          augment=False)
+    ds1 = DetectionDataset(str(root / "images"), img_size=320, batch_size=4,
+                           augment=False, single_cls=True)
+    assert any(len(lb) and lb[:, 0].max() > 0 for lb in ds.labels)
+    for lb, lb1 in zip(ds.labels, ds1.labels):
+        assert (lb1[:, 0] == 0).all()
+        np.testing.assert_array_equal(lb[:, 1:], lb1[:, 1:])
+
+
 def test_loader_propagates_worker_errors(coco_tree):
     """A corrupt sample must fail the epoch loudly, not truncate it."""
     import pytest

@@ -18,16 +18,9 @@ import cv2
 import numpy as np
 
 
-def increment_path(path, exist_ok=False):
-    """runs/detect/exp -> exp{2,3,...} (reference general.py:891-904)."""
-    path = Path(path)
-    if not path.exists() or exist_ok:
-        return path
-    for n in range(2, 9999):
-        p = Path(f"{path}{n}")
-        if not p.exists():
-            return p
-    raise RuntimeError("too many runs")
+from yolo_series_tpu.utils.general import increment_path  # noqa: F401
+# (canonical home utils/general.py, matching reference general.py:891-904;
+# re-exported here for backward compatibility)
 
 
 def detect(opt):

@@ -36,7 +36,7 @@ def run_eval(opt, img_size=None):
     ds = DetectionDataset(
         data["val"], img_size=img_size, batch_size=opt.batch_size,
         augment=False, rect=not opt.no_rect, stride=int(max(plan.strides)),
-        pad=0.5,
+        pad=0.5, single_cls=opt.single_cls,
         kind="human" if data.get("dataset") == "human" else "coco",
         odgt_paths=[p for p in
                     [data.get("crowd_human_valid_label_file")] if p],
@@ -46,24 +46,32 @@ def run_eval(opt, img_size=None):
                            max_labels=opt.max_labels, drop_last=False,
                            workers=opt.workers)
 
+    from yolo_series_tpu.utils.general import increment_path
+    save_dir = increment_path(Path(opt.project) / opt.name, opt.exist_ok)
+    save_txt = opt.save_txt or opt.save_hybrid  # reference test.py:330
+    if save_txt or opt.save_json or opt.plots:
+        (save_dir / "labels" if save_txt else save_dir).mkdir(
+            parents=True, exist_ok=True)
+
     res = evaluate(
         plan, params, state, loader, conf_thres=opt.conf_thres,
         iou_thres=opt.iou_thres, names=names, verbose=opt.verbose,
         confusion=opt.plots,
         compute_dtype=jnp.bfloat16 if opt.half else jnp.float32,
-        save_json=str(Path(opt.project) / "predictions.json")
+        save_json=str(save_dir / "predictions.json")
         if opt.save_json else None,
         coco_ids=(__import__("yolo_series_tpu.eval.evaluator",
                              fromlist=["coco80_to_coco91"]).coco80_to_coco91()
                   if opt.save_json and "coco" in str(opt.data) else None),
-        v5_metric=opt.v5_metric, augment=opt.augment)
+        v5_metric=opt.v5_metric, augment=opt.augment,
+        save_txt_dir=str(save_dir / "labels") if save_txt else None,
+        save_conf=opt.save_conf, save_hybrid=opt.save_hybrid)
     print(f"images={res['seen']} P={res['mp']:.4f} R={res['mr']:.4f} "
           f"mAP@.5={res['map50']:.4f} mAP@.5:.95={res['map']:.4f} "
           f"({res['speed_ms']['inference']:.1f}ms inf "
           f"{res['speed_ms']['nms']:.1f}ms nms /img)")
     if opt.plots and "confusion" in res:
-        Path(opt.project).mkdir(parents=True, exist_ok=True)
-        res["confusion"].plot(save_dir=opt.project, names=names)
+        res["confusion"].plot(save_dir=str(save_dir), names=names)
     return res
 
 
@@ -84,11 +92,22 @@ def main():
     p.add_argument("--augment", action="store_true", help="TTA eval")
     p.add_argument("--no-rect", action="store_true")
     p.add_argument("--no-fuse", action="store_true")
+    p.add_argument("--single-cls", action="store_true",
+                   help="treat as a single-class dataset")
     p.add_argument("--save-json", action="store_true")
+    p.add_argument("--save-txt", action="store_true",
+                   help="save auto-label txts (cls x y w h per det)")
+    p.add_argument("--save-hybrid", action="store_true",
+                   help="feed GT into NMS as conf-1.0 candidates and save "
+                        "hybrid auto-label txts (implies --save-txt)")
+    p.add_argument("--save-conf", action="store_true",
+                   help="append confidences to --save-txt rows")
     p.add_argument("--v5-metric", action="store_true")
     p.add_argument("--verbose", action="store_true")
     p.add_argument("--plots", action="store_true")
     p.add_argument("--project", default="runs/test")
+    p.add_argument("--name", default="exp")
+    p.add_argument("--exist-ok", action="store_true")
     opt = p.parse_args()
 
     if opt.task == "speed":

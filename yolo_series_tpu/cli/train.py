@@ -48,6 +48,12 @@ def make_parser():
                         "images (documented pixel deviation; big-image "
                         "datasets)")
     p.add_argument("--image-weights", action="store_true")
+    p.add_argument("--single-cls", action="store_true",
+                   help="train as a single-class dataset")
+    p.add_argument("--nosave", action="store_true",
+                   help="only save the final checkpoint")
+    p.add_argument("--noautoanchor", action="store_true",
+                   help="skip the autoanchor BPR check/recompute")
     p.add_argument("--quad", action="store_true",
                    help="quad collate: 4 samples -> one 2x image "
                         "(reference collate_fn4)")
@@ -113,7 +119,9 @@ def main():
             freeze=opt.freeze, image_weights=opt.image_weights,
             device_aug=opt.device_aug, cache_images=opt.cache_images,
             fast_decode=opt.fast_decode, quad=opt.quad, workers=opt.workers,
-            warmup_accumulate=not opt.no_warmup_accumulate)
+            warmup_accumulate=not opt.no_warmup_accumulate,
+            single_cls=opt.single_cls, nosave=opt.nosave,
+            autoanchor=not opt.noautoanchor)
     if opt.evolve:
         from yolo_series_tpu.train.evolve import evolve
         evolve(tc, generations=opt.evolve_gens)

@@ -178,7 +178,8 @@ class DetectionDataset:
                  hyp: Optional[dict] = None, rect=False, image_weights=False,
                  stride=32, pad=0.0, kind="coco", odgt_paths=(),
                  xml_dir=None, cut_max_len=-1, cache_path=None, prefix="",
-                 cache_images=False, device_tail=False, fast_decode=False):
+                 cache_images=False, device_tail=False, fast_decode=False,
+                 single_cls=False):
         # device_tail: host does decode + mosaic compose + label math only;
         # warp/HSV/flips/mixup run on-device (data/device_aug.py). Training
         # aug path only — rect/eval keeps the host letterbox.
@@ -227,6 +228,9 @@ class DetectionDataset:
         self.im_files = im_files
         self.labels = [items.get(f, (np.zeros((0, 5), np.float32), None, []))[0]
                        for f in im_files]
+        if single_cls:  # train/test --single-cls (reference datasets.py:452)
+            self.labels = [np.concatenate(
+                [np.zeros_like(lb[:, :1]), lb[:, 1:]], 1) for lb in self.labels]
         self.shapes = np.array(
             [items.get(f, (None, (1, 1), None))[1] or (1, 1) for f in im_files],
             np.float64)  # (w, h)

@@ -61,8 +61,14 @@ def evaluate(plan, params, state, loader, *,
              confusion: bool = False, save_json: Optional[str] = None,
              coco_ids: Optional[List[int]] = None,
              v5_metric: bool = False, verbose: bool = False,
-             augment: bool = False):
+             augment: bool = False, save_txt_dir: Optional[str] = None,
+             save_conf: bool = False, save_hybrid: bool = False):
     """Run mAP evaluation over a loader of letterboxed batches.
+
+    save_txt_dir writes per-image auto-label txts (normalized xywh in
+    native image space, reference test.py:147-153); save_hybrid feeds the
+    ground-truth boxes into NMS as conf-1.0 candidates for hybrid
+    auto-labelling (test.py:124, general.py:656-662).
 
     Returns dict with mp, mr, map50, map, per-class ap, speed, fitness.
     """
@@ -99,6 +105,23 @@ def evaluate(plan, params, state, loader, *,
         # otherwise be fiction on tunneled TPUs; bench.py times the same way
         _ = np.asarray(pred[0, :1])
         t1 = time.perf_counter()
+        if save_hybrid:
+            # hybrid auto-labelling (reference test.py:124 +
+            # general.py:656-662): ground truth joins the NMS candidate
+            # set as obj-1.0 one-hot rows; padded label slots carry obj 0
+            # and fall below conf_thres
+            hl, hm = batch["labels"], batch["label_mask"]
+            hb, hmax = hl.shape[:2]
+            h_b, w_b = imgs.shape[1:3]
+            extra = np.zeros((hb, hmax) + (pred.shape[2],), np.float32)
+            extra[..., :4] = hl[..., 1:5] * np.array(
+                [w_b, h_b, w_b, h_b], np.float32)
+            extra[..., 4] = hm.astype(np.float32)
+            np.put_along_axis(extra[..., 5:],
+                              hl[..., 0].astype(np.int64)[..., None],
+                              1.0, axis=-1)
+            pred = jnp.concatenate(
+                [pred, jnp.asarray(extra, pred.dtype)], axis=1)
         out = batched_nms(pred, conf_thres=conf_thres, iou_thres=iou_thres,
                           multi_label=True, max_det=max_det, max_nms=max_nms)
         dets = nms_output_to_dets(out)
@@ -123,6 +146,25 @@ def evaluate(plan, params, state, loader, *,
                 native_shape = (h0, w0)
             else:
                 native_shape = (h_in, w_in)
+
+            if save_txt_dir is not None:
+                # auto-label txt (reference test.py:147-153): one
+                # `cls x y w h [conf]` row per det, xywh normalized to the
+                # native image
+                h0n, w0n = native_shape
+                txt = []
+                for row in predn:
+                    x1, y1, x2, y2 = row[:4]
+                    xywh = ((x1 + x2) / 2 / w0n, (y1 + y2) / 2 / h0n,
+                            (x2 - x1) / w0n, (y2 - y1) / h0n)
+                    vals = ((int(row[5]),) + xywh
+                            + ((float(row[4]),) if save_conf else ()))
+                    txt.append(" ".join(f"{v:g}" for v in vals))
+                if txt:  # the reference creates no file for zero dets
+                    out_p = Path(save_txt_dir) / (
+                        Path(batch["paths"][si]).stem + ".txt")
+                    with open(out_p, "a") as f:
+                        f.write("\n".join(txt) + "\n")
 
             if save_json is not None:
                 image_id = Path(batch["paths"][si]).stem

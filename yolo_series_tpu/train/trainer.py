@@ -88,6 +88,9 @@ class TrainConfig:
     # (reference collate_fn4 + loss*4 compensation, datasets.py:931/train.py:377)
     warmup_accumulate: bool = True  # ramp accumulate 1 -> nbs/bs during
     # warmup (train.py:352-353); one compiled step program per distinct value
+    single_cls: bool = False      # treat data as one class (train.py:78-79)
+    nosave: bool = False          # only save the final checkpoint
+    # (train.py:464: save gated on `(not nosave) or final_epoch`)
 
 
 def _scaled_loss_hyp(hyp: dict, nl: int, nc: int, img_size: int,
@@ -131,8 +134,10 @@ def train(tc: TrainConfig, train_ds: Optional[DetectionDataset] = None,
     if tc.data:
         with open(tc.data) as f:
             data_cfg = yaml.safe_load(f)
-    nc = int(data_cfg.get("nc", 80))
+    nc = 1 if tc.single_cls else int(data_cfg.get("nc", 80))
     names = data_cfg.get("names", [str(i) for i in range(nc)])
+    if tc.single_cls and len(names) != 1:  # reference train.py:79
+        names = ["item"]
 
     plan = compile_graph(tc.cfg, nc=nc)
     key = jax.random.PRNGKey(tc.seed)
@@ -167,7 +172,7 @@ def train(tc: TrainConfig, train_ds: Optional[DetectionDataset] = None,
             xml_dir=data_cfg.get("safety_helmet_dataset_label_dir"),
             cut_max_len=int(data_cfg.get("cut_max_len", -1)),
             device_tail=tc.device_aug, cache_images=tc.cache_images,
-            fast_decode=tc.fast_decode)
+            fast_decode=tc.fast_decode, single_cls=tc.single_cls)
     anchors_override = None
     if tc.autoanchor and not tc.resume:
         try:
@@ -274,6 +279,27 @@ def train(tc: TrainConfig, train_ds: Optional[DetectionDataset] = None,
     nb = len(loader)
     warmup_steps = max(round(hyp["warmup_epochs"] * nb), tc.warmup_min_steps)
 
+    if val_ds is None and not tc.noval and data_cfg.get("val"):
+        # the reference always builds a testloader from data['val']
+        # (train.py:430-437: rect, pad 0.5) — per-epoch eval and
+        # best-fitness checkpoint selection must work from the CLI, not
+        # only when a caller injects val_ds
+        try:
+            is_human = data_cfg.get("dataset") == "human"
+            val_ds = DetectionDataset(
+                data_cfg["val"], img_size=tc.img_size,
+                batch_size=tc.batch_size, augment=False, rect=True, pad=0.5,
+                stride=int(max(head.strides)),
+                kind="human" if is_human else "coco",
+                odgt_paths=[p for p in
+                            [data_cfg.get("crowd_human_valid_label_file")]
+                            if p],
+                xml_dir=data_cfg.get("safety_helmet_dataset_label_dir"),
+                cut_max_len=int(data_cfg.get("cut_max_len", -1)),
+                single_cls=tc.single_cls)
+        except Exception as e:  # noqa: BLE001
+            print(f"val dataset unavailable ({e}); training without eval")
+
     val_loader = None
     if val_ds is not None:
         val_loader = lambda: create_loader(  # noqa: E731
@@ -379,15 +405,19 @@ def train(tc: TrainConfig, train_ds: Optional[DetectionDataset] = None,
 
         ckpt_kw = dict(cfg=cfg_dict, epoch=epoch, best_fitness=best_fitness,
                        results=results_rows, hyp=hyp)
-        save_checkpoint(save_dir / "weights" / "last.ckpt", ts, **ckpt_kw)
-        if fi > 0 and fi >= best_fitness:
+        # --nosave: only the final epoch writes a checkpoint (train.py:464)
+        do_save = (not tc.nosave) or epoch == tc.epochs - 1
+        if do_save:
+            save_checkpoint(save_dir / "weights" / "last.ckpt", ts, **ckpt_kw)
+        if do_save and fi > 0 and fi >= best_fitness:
             save_checkpoint(save_dir / "weights" / "best.ckpt", ts, **ckpt_kw)
             if epoch >= 200:  # late-best snapshots (train.py:478-479)
                 save_checkpoint(save_dir / "weights" / f"best_{epoch:03d}.ckpt",
                                 ts, **ckpt_kw)
         # epoch-stamped cadence (train.py:480-485): epoch 0, every
         # `save_period`th (default 25), and the final 5 epochs
-        if (epoch == 0
+        if do_save and (
+                epoch == 0
                 or (tc.save_period > 0 and (epoch + 1) % tc.save_period == 0)
                 or epoch >= tc.epochs - 5):
             save_checkpoint(save_dir / "weights" / f"epoch_{epoch:03d}.ckpt",

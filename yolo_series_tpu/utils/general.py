@@ -173,3 +173,17 @@ def resample_segments(segments, n: int = 1000):
             [np.interp(x, xp, s[:, i]) for i in range(2)]
         ).reshape(2, -1).T)
     return out
+
+
+def increment_path(path, exist_ok=False):
+    """runs/detect/exp -> exp{2,3,...} (reference general.py:891-904)."""
+    from pathlib import Path
+
+    path = Path(path)
+    if not path.exists() or exist_ok:
+        return path
+    for n in range(2, 9999):
+        p = Path(f"{path}{n}")
+        if not p.exists():
+            return p
+    raise RuntimeError("too many runs")
