@@ -118,11 +118,21 @@ def make_parser():
     p.add_argument("--project", default="runs/detect")
     p.add_argument("--name", default="exp")
     p.add_argument("--exist-ok", action="store_true")
+    p.add_argument("--update", action="store_true",
+                   help="strip optimizer/EMA state from --weights in place "
+                        "after running (reference detect.py:174-177)")
     return p
 
 
 def main():
-    detect(make_parser().parse_args())
+    opt = make_parser().parse_args()
+    detect(opt)
+    if opt.update:
+        from yolo_series_tpu.train.checkpoints import strip_checkpoint
+        for w in opt.weights:
+            if w.endswith(".ckpt"):
+                strip_checkpoint(w)
+                print(f"stripped {w}")
 
 
 if __name__ == "__main__":
