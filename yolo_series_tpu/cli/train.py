@@ -54,6 +54,8 @@ def make_parser():
                    help="only save the final checkpoint")
     p.add_argument("--noautoanchor", action="store_true",
                    help="skip the autoanchor BPR check/recompute")
+    p.add_argument("--v5-metric", action="store_true",
+                   help="yolov5 AP convention in per-epoch/final evals")
     p.add_argument("--quad", action="store_true",
                    help="quad collate: 4 samples -> one 2x image "
                         "(reference collate_fn4)")
@@ -121,7 +123,7 @@ def main():
             fast_decode=opt.fast_decode, quad=opt.quad, workers=opt.workers,
             warmup_accumulate=not opt.no_warmup_accumulate,
             single_cls=opt.single_cls, nosave=opt.nosave,
-            autoanchor=not opt.noautoanchor)
+            autoanchor=not opt.noautoanchor, v5_metric=opt.v5_metric)
     if opt.evolve:
         from yolo_series_tpu.train.evolve import evolve
         evolve(tc, generations=opt.evolve_gens)

@@ -98,6 +98,84 @@ def apply_model(plan: GraphPlan, params, state, x, *,
     raise ValueError("graph plan ended without a head layer")
 
 
+def profile_layers(plan: GraphPlan, params, state, x, *, iters: int = 10,
+                   dtype=jnp.float32, printout: bool = True):
+    """Per-layer forward profile — the reference
+    `Model.forward_once(profile=True)` (yolo.py:614-623: 10x per-module
+    timing + thop GFLOPs + param count, printed as a table).
+
+    Each layer runs as its OWN jitted program so its cost is attributable;
+    timing fetches a small output slice (relay-safe, see bench.py). Note
+    the full-model jit fuses across layers, so the per-layer sum is an
+    upper bound on the fused forward — same caveat as the reference's
+    eager per-module times vs its traced model.
+
+    Returns a list of {idx, module, ms, gflops, params, shape} dicts.
+    """
+    import time
+
+    ctx = Ctx(training=False, dtype=dtype)
+    lp, ls = params["layers"], state["layers"]
+    saved: Dict[int, jnp.ndarray] = {}
+    y = x.astype(dtype)
+    rows = []
+
+    def layer_fn(spec):
+        def fn(p, s, inp):
+            if spec.n_seq > 1:
+                cur = inp
+                for r in range(spec.n_seq):
+                    cur, _ = spec.block.apply(p[r], s[r], cur, ctx)
+                return cur
+            return spec.block.apply(p, s, inp, ctx)[0]
+        return jax.jit(fn)
+
+    for idx, spec in enumerate(plan.layers):
+        if isinstance(spec.frm, tuple):
+            inp = [y if j == -1 else saved[j] for j in spec.frm]
+        else:
+            inp = y if spec.frm == -1 else saved[spec.frm]
+
+        fn = layer_fn(spec)
+        out = fn(lp[idx], ls[idx], inp)
+        probe = out["pred"] if isinstance(out, dict) else out
+        _ = np.asarray(probe[(0,) * (probe.ndim - 1)])  # warm + sync
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn(lp[idx], ls[idx], inp)
+        probe = out["pred"] if isinstance(out, dict) else out
+        _ = np.asarray(probe[(0,) * (probe.ndim - 1)])
+        dt = (time.perf_counter() - t0) / iters * 1e3
+
+        gflops = None
+        try:
+            ca = fn.lower(lp[idx], ls[idx], inp).compile().cost_analysis()
+            if ca:
+                ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+                gflops = float(ca.get("flops", 0.0)) / 1e9
+        except Exception:  # noqa: BLE001 — backend without cost analysis
+            pass
+        n_par = sum(int(np.prod(p.shape))
+                    for p in jax.tree_util.tree_leaves(lp[idx]))
+        rows.append({"idx": idx, "module": type(spec.block).__name__,
+                     "ms": dt, "gflops": gflops, "params": n_par,
+                     "shape": tuple(probe.shape)})
+        if printout:
+            g = f"{gflops:8.2f}" if gflops is not None else "     n/a"
+            print(f"{dt:8.2f}ms {g} GFLOPs {n_par:10d} params  "
+                  f"l{idx:<3d} {rows[-1]['module']}")
+
+        if spec.is_head:
+            break
+        y = out
+        if idx in plan.save:
+            saved[idx] = y
+    if printout:
+        print(f"{sum(r['ms'] for r in rows):8.2f}ms total "
+              f"({sum(r['params'] for r in rows):,d} params)")
+    return rows
+
+
 @dataclasses.dataclass
 class Model:
     """Convenience owner of (plan, params, state).
@@ -138,3 +216,9 @@ class Model:
     def num_params(self):
         return sum(int(np.prod(p.shape))
                    for p in jax.tree_util.tree_leaves(self.params))
+
+    def profile(self, x, iters: int = 10, dtype=jnp.float32):
+        """Per-layer timing/GFLOPs table (reference
+        forward_once(profile=True), yolo.py:614-623)."""
+        return profile_layers(self.plan, self.params, self.state, x,
+                              iters=iters, dtype=dtype)

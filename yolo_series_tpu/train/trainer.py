@@ -89,6 +89,8 @@ class TrainConfig:
     warmup_accumulate: bool = True  # ramp accumulate 1 -> nbs/bs during
     # warmup (train.py:352-353); one compiled step program per distinct value
     single_cls: bool = False      # treat data as one class (train.py:78-79)
+    v5_metric: bool = False       # yolov5 AP convention in per-epoch and
+    # final evals (train.py:438, 518: assume max recall 1.0)
     nosave: bool = False          # only save the final checkpoint
     # (train.py:464: save gated on `(not nosave) or final_epoch`)
 
@@ -396,7 +398,7 @@ def train(tc: TrainConfig, train_ds: Optional[DetectionDataset] = None,
         if val_loader is not None and not tc.noval and \
                 (epoch % tc.eval_every == 0 or epoch == tc.epochs - 1):
             res = evaluate(plan, ts.ema_params, ts.ema_state, val_loader(),
-                           names=names)
+                           names=names, v5_metric=tc.v5_metric)
             row.update({f"val/{k}": res[k] for k in
                         ("mp", "mr", "map50", "map")})
             fi = res["fitness"]
@@ -446,7 +448,7 @@ def train(tc: TrainConfig, train_ds: Optional[DetectionDataset] = None,
         final_results = evaluate(
             plan, blob.get("ema_params") or blob["params"],
             blob.get("ema_state") or blob["state"], val_loader(),
-            names=names, verbose=True)
+            names=names, verbose=True, v5_metric=tc.v5_metric)
         print("final best.ckpt: "
               + " ".join(f"{k}={final_results[k]:.4f}"
                          for k in ("mp", "mr", "map50", "map")))
