@@ -75,18 +75,24 @@ def evaluate(plan, params, state, loader, *,
     nc = plan.nc
     iouv = np.linspace(0.5, 0.95, 10)
 
+    # pixels ship uint8 and normalize on device (4x less H2D than fp32 —
+    # same contract as the train step and the serving engine)
     if augment:  # multi-scale + flip TTA (reference test.py --augment)
         from yolo_series_tpu.models.tta import apply_model_tta
 
         @jax.jit
         def forward(params, state, x):
-            return apply_model_tta(plan, params, state, x,
+            # f32 normalize, then apply_model casts — bit-identical to the
+            # old host-side f32/255 for every compute_dtype
+            return apply_model_tta(plan, params, state,
+                                   x.astype(jnp.float32) / 255.0,
                                    dtype=compute_dtype)
     else:
         @jax.jit
         def forward(params, state, x):
-            out, _ = apply_model(plan, params, state, x, training=False,
-                                 dtype=compute_dtype)
+            out, _ = apply_model(plan, params, state,
+                                 x.astype(jnp.float32) / 255.0,
+                                 training=False, dtype=compute_dtype)
             return out["pred"]
 
     stats = []
@@ -97,7 +103,7 @@ def evaluate(plan, params, state, loader, *,
 
     for batch in loader:
         imgs = batch["images"]
-        x = jnp.asarray(imgs, jnp.float32) / 255.0
+        x = jnp.asarray(imgs)  # uint8; normalized inside the jit
         t0 = time.perf_counter()
         pred = forward(params, state, x)
         # fetch a small slice instead of block_until_ready: the axon relay
