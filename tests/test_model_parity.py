@@ -33,6 +33,22 @@ CFGS = {
     # ResNet/ResNeXt bottleneck family
     "baseline/r50-csp": "cfg/baseline/r50-csp.yaml",
     "baseline/x50-csp": "cfg/baseline/x50-csp.yaml",
+    # remaining inventory (round 3): every shipped cfg oracle-verified
+    "baseline/yolor-csp-x": "cfg/baseline/yolor-csp-x.yaml",
+    "baseline/yolor-p6": "cfg/baseline/yolor-p6.yaml",
+    "baseline/yolor-w6": "cfg/baseline/yolor-w6.yaml",
+    "baseline/yolor-e6": "cfg/baseline/yolor-e6.yaml",
+    "baseline/yolor-d6": "cfg/baseline/yolor-d6.yaml",
+    "baseline/yolov3": "cfg/baseline/yolov3.yaml",
+    "baseline/yolov3-spp": "cfg/baseline/yolov3-spp.yaml",
+    "deploy/yolov7-tiny-silu": "cfg/deploy/yolov7-tiny-silu.yaml",
+    "deploy/yolov7x": "cfg/deploy/yolov7x.yaml",
+    "deploy/yolov7-w6": "cfg/deploy/yolov7-w6.yaml",
+    "deploy/yolov7-e6": "cfg/deploy/yolov7-e6.yaml",
+    "deploy/yolov7-d6": "cfg/deploy/yolov7-d6.yaml",
+    "deploy/yolov7-e6e": "cfg/deploy/yolov7-e6e.yaml",
+    "training/yolov7-custom": "cfg/training/yolov7-custom.yaml",
+    "training/yolov7-w6-custom": "cfg/training/yolov7-w6-custom.yaml",
 }
 
 
@@ -44,9 +60,15 @@ def _build_pair(name, img=256, seed=0):
     from yolo_series_tpu.models.model import apply_model
     from yolo_series_tpu.models.torch_import import import_state_dict
 
+    import yaml
+
+    with open(f"yolo_series_tpu/models/cfg/{name}.yaml") as f:
+        nc = int(yaml.safe_load(f).get("nc", 80))  # custom cfgs use nc=83
+
     ref = load_reference()
     torch.manual_seed(seed)
-    ref_model = ref["Model"](f"/root/reference/{CFGS[name]}", ch=3, nc=80).float().eval()
+    ref_model = ref["Model"](f"/root/reference/{CFGS[name]}", ch=3,
+                             nc=nc).float().eval()
 
     plan = compile_graph(f"yolo_series_tpu/models/cfg/{name}.yaml")
     params, state = import_state_dict(plan, ref_state_dict_numpy(ref_model))
