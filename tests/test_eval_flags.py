@@ -55,7 +55,11 @@ def test_save_txt_and_hybrid(tiny_eval_setup, tmp_path):
     # hybrid GT detections
     evaluate(plan, params, state, loader, names=("a", "b", "c"),
              conf_thres=0.9, compute_dtype=jnp.float32,
-             save_txt_dir=str(out), save_conf=True, save_hybrid=True)
+             save_txt_dir=str(out), save_conf=True, save_hybrid=True,
+             plots_dir=str(tmp_path))
+    # first-batch mosaics (reference test.py:216-222)
+    assert (tmp_path / "test_batch0_labels.jpg").exists()
+    assert (tmp_path / "test_batch0_pred.jpg").exists()
     files = sorted(out.glob("*.txt"))
     assert [f.stem for f in files] == sorted(n_labels)
     for f in files:

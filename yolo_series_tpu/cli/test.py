@@ -65,7 +65,8 @@ def run_eval(opt, img_size=None):
                   if opt.save_json and "coco" in str(opt.data) else None),
         v5_metric=opt.v5_metric, augment=opt.augment,
         save_txt_dir=str(save_dir / "labels") if save_txt else None,
-        save_conf=opt.save_conf, save_hybrid=opt.save_hybrid)
+        save_conf=opt.save_conf, save_hybrid=opt.save_hybrid,
+        plots_dir=str(save_dir) if opt.plots else None)
     print(f"images={res['seen']} P={res['mp']:.4f} R={res['mr']:.4f} "
           f"mAP@.5={res['map50']:.4f} mAP@.5:.95={res['map']:.4f} "
           f"({res['speed_ms']['inference']:.1f}ms inf "

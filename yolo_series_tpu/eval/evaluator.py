@@ -62,7 +62,8 @@ def evaluate(plan, params, state, loader, *,
              coco_ids: Optional[List[int]] = None,
              v5_metric: bool = False, verbose: bool = False,
              augment: bool = False, save_txt_dir: Optional[str] = None,
-             save_conf: bool = False, save_hybrid: bool = False):
+             save_conf: bool = False, save_hybrid: bool = False,
+             plots_dir: Optional[str] = None):
     """Run mAP evaluation over a loader of letterboxed batches.
 
     save_txt_dir writes per-image auto-label txts (normalized xywh in
@@ -101,7 +102,7 @@ def evaluate(plan, params, state, loader, *,
     t_inf = t_nms = 0.0
     seen = 0
 
-    for batch in loader:
+    for batch_i, batch in enumerate(loader):
         imgs = batch["images"]
         x = jnp.asarray(imgs)  # uint8; normalized inside the jit
         t0 = time.perf_counter()
@@ -138,6 +139,30 @@ def evaluate(plan, params, state, loader, *,
         h_in, w_in = imgs.shape[1:3]
         labels = batch["labels"]
         mask = batch["label_mask"]
+
+        if plots_dir is not None and batch_i < 3:
+            # first-3-batch mosaics (reference test.py:216-222:
+            # test_batch{i}_labels.jpg ground truth / _pred.jpg detections)
+            from yolo_series_tpu.obs.plots import plot_images
+            pl = np.zeros_like(labels)
+            pm = np.zeros(labels.shape[:2], bool)
+            whwh = np.array([w_in, h_in, w_in, h_in], np.float32)
+            for si, d in enumerate(dets):
+                n = min(len(d), pl.shape[1])
+                if n:
+                    xyxy = d[:n, :4] / whwh
+                    pl[si, :n, 0] = d[:n, 5]
+                    pl[si, :n, 1:3] = (xyxy[:, :2] + xyxy[:, 2:]) / 2
+                    pl[si, :n, 3:5] = xyxy[:, 2:] - xyxy[:, :2]
+                    pm[si, :n] = True
+            pd = Path(plots_dir)
+            plot_images(imgs, labels, mask, paths=batch.get("paths"),
+                        fname=str(pd / f"test_batch{batch_i}_labels.jpg"),
+                        names=names)
+            plot_images(imgs, pl, pm, paths=batch.get("paths"),
+                        fname=str(pd / f"test_batch{batch_i}_pred.jpg"),
+                        names=names)
+
         for si in range(len(dets)):
             seen += 1
             shapes = batch["shapes"][si]

@@ -326,6 +326,19 @@ def train(tc: TrainConfig, train_ds: Optional[DetectionDataset] = None,
         for batch in loader:
             micro.append(batch)
             ni += 1
+            if ni <= 3 and "images" in batch:
+                # first-3-batch mosaics (reference train.py:403-407:
+                # train_batch{0,1,2}.jpg); the device-aug tail has no host
+                # pixels to plot, so it is skipped there
+                try:
+                    from yolo_series_tpu.obs.plots import plot_images
+                    plot_images(batch["images"], batch["labels"],
+                                batch["label_mask"],
+                                paths=batch.get("paths"), names=names,
+                                fname=str(save_dir
+                                          / f"train_batch{ni - 1}.jpg"))
+                except Exception as e:  # noqa: BLE001
+                    print(f"train batch plot failed: {e}")
             # warmup accumulate ramp (reference train.py:352-353): early
             # optimizer steps consume fewer micro-batches; the ramp value
             # picks which compiled step program runs
