@@ -169,7 +169,7 @@ def test_device_tail_loader_and_train_step(tmp_path):
     assert arr.std() > 0.01  # not all-border
 
     m = Model.from_yaml("yolo_series_tpu/models/cfg/training/yolov7-tiny.yaml")
-    loss_fn = make_compute_loss_ota(m.plan.head, LossHyp(), img)
+    loss_fn = make_compute_loss_ota(m.plan.head, LossHyp())
     cfg = OptimConfig()
     ts = init_train_state(m.params, m.state, cfg)
     step = make_train_step(m.plan, loss_fn, cfg, compute_dtype=jnp.float32)

@@ -123,7 +123,7 @@ def test_compute_loss_ota_matches_reference(seed, rtol):
 
     plan = compile_graph("yolo_series_tpu/models/cfg/training/yolov7-tiny.yaml")
     labels, mask = _to_padded(targets, bs)
-    loss_fn = make_compute_loss_ota(plan.head, LossHyp(), img_size=img)
+    loss_fn = make_compute_loss_ota(plan.head, LossHyp())
     total, items = loss_fn([jnp.asarray(r) for r in raw],
                            jnp.asarray(labels), jnp.asarray(mask))
 
@@ -182,7 +182,7 @@ def test_compute_loss_bin_ota_matches_reference(seed):
             [torch.from_numpy(r) for r in raw], torch.from_numpy(targets), imgs)
 
     labels, mask = _to_padded(targets, bs)
-    loss_fn = make_compute_loss_bin_ota(plan.head, LossHyp(), img_size=img)
+    loss_fn = make_compute_loss_bin_ota(plan.head, LossHyp())
     total, items = loss_fn([jnp.asarray(r) for r in raw],
                            jnp.asarray(labels), jnp.asarray(mask))
 
@@ -226,7 +226,7 @@ def test_compute_loss_aux_ota_matches_reference(seed):
 
     plan = compile_graph("yolo_series_tpu/models/cfg/training/yolov7-tiny.yaml")
     labels, mask = _to_padded(targets, bs)
-    loss_fn = make_compute_loss_aux_ota(plan.head, LossHyp(), img_size=img)
+    loss_fn = make_compute_loss_aux_ota(plan.head, LossHyp())
     total, items = loss_fn([jnp.asarray(r) for r in raw],
                            jnp.asarray(labels), jnp.asarray(mask))
 

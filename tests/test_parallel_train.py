@@ -103,7 +103,7 @@ def test_sharded_step_matches_single_device():
 def test_grad_accumulation_step():
     img = 64
     m = Model.from_yaml("yolo_series_tpu/models/cfg/training/yolov7-tiny.yaml")
-    loss_fn = make_compute_loss_ota(m.plan.head, LossHyp(), img)
+    loss_fn = make_compute_loss_ota(m.plan.head, LossHyp())
     cfg = OptimConfig()
     ts = init_train_state(m.params, m.state, cfg)
     step_fn = make_train_step(m.plan, loss_fn, cfg, accumulate=2,

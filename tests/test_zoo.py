@@ -78,7 +78,7 @@ def test_bin_ota_loss_runs_and_grads():
 
     anc = ((1.0, 1.3, 2, 3, 4, 5),) * 3
     head = H.IBin(nc=8, anchors=anc, ch=(32, 64, 128), strides=(8.0, 16.0, 32.0))
-    loss_fn = make_compute_loss_bin_ota(head, LossHyp(), img_size=128)
+    loss_fn = make_compute_loss_bin_ota(head, LossHyp())
     rng = np.random.default_rng(0)
     raw = [jnp.asarray(rng.normal(0, 1, (2, 3, 128 // s, 128 // s, head.no))
                        .astype(np.float32)) for s in (8, 16, 32)]

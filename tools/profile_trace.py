@@ -157,7 +157,7 @@ def build_train(batch, size):
             "yolo_series_tpu/models/cfg/training/yolov7.yaml")
         plan = m.plan
         step_plan = make_train_fast_stem(plan)
-        loss_fn = make_compute_loss_ota(plan.head, LossHyp(), size)
+        loss_fn = make_compute_loss_ota(plan.head, LossHyp())
         ts = init_train_state(m.params, m.state, OptimConfig())
     step = make_train_step(step_plan, loss_fn, OptimConfig())
     tpu = jax.devices()[0]

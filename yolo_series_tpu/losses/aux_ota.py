@@ -22,7 +22,7 @@ from yolo_series_tpu.losses.ota import ota_assign_batch, ota_level_loss
 from yolo_series_tpu.losses.yolo_loss import LossHyp, balance_for
 
 
-def make_compute_loss_aux_ota(head, hyp: LossHyp, img_size: int,
+def make_compute_loss_aux_ota(head, hyp: LossHyp,
                               topk: int = 20):
     nl = len(head.strides)
     balance = balance_for(nl)
@@ -38,11 +38,10 @@ def make_compute_loss_aux_ota(head, hyp: LossHyp, img_size: int,
         bs = lead[0].shape[0]
 
         fg, mg, offs = ota_assign_batch(lead, labels, label_mask, anchors,
-                                        strides, hyp, img_size, g=0.5,
-                                        topk=topk)
+                                        strides, hyp, g=0.5, topk=topk)
         fg_a, mg_a, offs_a = ota_assign_batch(lead, labels, label_mask,
                                               anchors, strides, hyp,
-                                              img_size, g=1.0, topk=topk)
+                                              g=1.0, topk=topk)
 
         lbox = lobj = lcls = jnp.float32(0.0)
         for li in range(nl):

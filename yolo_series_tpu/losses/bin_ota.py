@@ -24,7 +24,7 @@ from yolo_series_tpu.losses.yolo_loss import (
 from yolo_series_tpu.ops.boxes import bbox_iou
 
 
-def make_compute_loss_bin_ota(head, hyp: LossHyp, img_size: int,
+def make_compute_loss_bin_ota(head, hyp: LossHyp,
                               topk: int = 10):
     nl = len(head.strides)
     balance = balance_for(nl)
@@ -51,7 +51,7 @@ def make_compute_loss_bin_ota(head, hyp: LossHyp, img_size: int,
         raw = [r.astype(jnp.float32) for r in raw[:nl]]
         bs = raw[0].shape[0]
         fg, mg, offs = ota_assign_batch(raw, labels, label_mask, anchors,
-                                        strides, hyp, img_size, g=0.5,
+                                        strides, hyp, g=0.5,
                                         topk=topk, codec=codec)
         lbox = lobj = lcls = jnp.float32(0.0)
         m = labels.shape[1]

@@ -57,11 +57,18 @@ def _top_k_iter(x, k):
 
 
 def _assign_single(raw_img: Sequence[jnp.ndarray], labels, label_mask,
-                   grids, anchors, strides, hyp: LossHyp, img_size, g, topk,
+                   grids, anchors, strides, hyp: LossHyp, g, topk,
                    codec=None):
     """SimOTA assignment for one image. raw_img: [(na, ny, nx, no)] lead
     maps. Returns (fg (C,), matched_gt (C,)) over the concatenated
     candidate columns (level-major)."""
+    # gt pixel scale comes from the ACTUAL traced map shapes (ny*stride ==
+    # the runtime image height), exactly like the reference's
+    # `this_target[:, 2:6] * imgs[batch_idx].shape[1]` (loss.py:661) —
+    # NOT a static config size, so in-graph multi-scale resizes (each a
+    # separately compiled program) and quad 2x canvases decode gt at the
+    # same scale as the predicted boxes
+    img_size = grids[0][0] * float(strides[0])
     m = labels.shape[0]
     nl = len(raw_img)
     na = anchors.shape[1]
@@ -140,7 +147,7 @@ def _assign_single(raw_img: Sequence[jnp.ndarray], labels, label_mask,
 
 def ota_assign_batch(raw: Sequence[jnp.ndarray], labels, label_mask,
                      anchors: np.ndarray, strides: np.ndarray,
-                     hyp: LossHyp, img_size: float, g: float, topk: int,
+                     hyp: LossHyp, g: float, topk: int,
                      codec=None):
     """Batched assignment. raw: [(B, na, ny, nx, no)] lead maps (fp32).
     Returns fg (B, C), matched_gt (B, C), level column offsets."""
@@ -148,7 +155,7 @@ def ota_assign_batch(raw: Sequence[jnp.ndarray], labels, label_mask,
 
     def wrap(raw_img, labels_i, mask_i):
         return _assign_single(raw_img, labels_i, mask_i, grids, anchors,
-                              strides, hyp, img_size, g, topk, codec)
+                              strides, hyp, g, topk, codec)
 
     fg, mg = jax.vmap(wrap)(list(raw), labels, label_mask)
     fg = jax.lax.stop_gradient(fg)
@@ -222,7 +229,7 @@ def ota_level_loss(pi, labels, label_mask, fg_l, mg_l, anchors_l,
     return lbox, lobj, lcls
 
 
-def make_compute_loss_ota(head, hyp: LossHyp, img_size: int,
+def make_compute_loss_ota(head, hyp: LossHyp,
                           g: float = 0.5, topk: int = 10):
     """Build compute_loss_ota(raw, labels, label_mask) (loss.py:556-845)."""
     nl = len(head.strides)
@@ -234,7 +241,7 @@ def make_compute_loss_ota(head, hyp: LossHyp, img_size: int,
         raw = [r.astype(jnp.float32) for r in raw[:nl]]
         bs = raw[0].shape[0]
         fg, mg, offs = ota_assign_batch(raw, labels, label_mask, anchors,
-                                        strides, hyp, img_size, g, topk)
+                                        strides, hyp, g, topk)
         lbox = lobj = lcls = jnp.float32(0.0)
         for li in range(nl):
             fg_l = fg[:, offs[li]:offs[li + 1]]
