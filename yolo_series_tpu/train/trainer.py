@@ -197,13 +197,12 @@ def train(tc: TrainConfig, train_ds: Optional[DetectionDataset] = None,
     # quad mode: images arrive at 2x side length (the label->pixel decode
     # inside the loss must use the REAL image size); the reference scales
     # hyp gains by the base imgsz regardless of --quad (train.py:288-291)
-    loss_img = tc.img_size * (2 if tc.quad else 1)
     loss_hyp = _scaled_loss_hyp(hyp, nl, nc, tc.img_size, tc.label_smoothing)
     is_aux = isinstance(head, IAuxDetect)
     if is_aux:
-        loss_fn = make_compute_loss_aux_ota(head, loss_hyp, loss_img)
+        loss_fn = make_compute_loss_aux_ota(head, loss_hyp)
     elif hyp.get("loss_ota", 1):
-        loss_fn = make_compute_loss_ota(head, loss_hyp, loss_img)
+        loss_fn = make_compute_loss_ota(head, loss_hyp)
     else:
         loss_fn = make_compute_loss(head, loss_hyp)
 
@@ -299,8 +298,15 @@ def train(tc: TrainConfig, train_ds: Optional[DetectionDataset] = None,
                 xml_dir=data_cfg.get("safety_helmet_dataset_label_dir"),
                 cut_max_len=int(data_cfg.get("cut_max_len", -1)),
                 single_cls=tc.single_cls)
-        except Exception as e:  # noqa: BLE001
-            print(f"val dataset unavailable ({e}); training without eval")
+        except Exception as e:
+            # fail loudly: a typo'd val path or corrupt val labels would
+            # otherwise silently disable per-epoch eval AND best-fitness
+            # checkpoint selection for the whole run (the reference crashes
+            # in create_dataloader, train.py:430)
+            raise RuntimeError(
+                f"failed to build the val dataset from data['val']="
+                f"{data_cfg.get('val')!r} (fix the path or pass --noval): {e}"
+            ) from e
 
     val_loader = None
     if val_ds is not None:
@@ -353,8 +359,16 @@ def train(tc: TrainConfig, train_ds: Optional[DetectionDataset] = None,
                 hyp["lr0"], hyp["lrf"], hyp["warmup_bias_lr"],
                 hyp["warmup_momentum"], hyp["momentum"],
                 cosine=not tc.linear_lr)
+            # multi-scale engages AFTER warmup: during the accumulate ramp
+            # the (acc, size) product would lazily compile up to
+            # (nbs/bs)x5 distinct step programs (minutes each on this box);
+            # post-warmup acc is fixed, so the cache holds <= nbs/bs + 5
+            # programs total. Documented deviation: the reference rescales
+            # from batch 0 (train.py:360) — warmup batches here train at
+            # the base size only.
+            ramping = tc.warmup_accumulate and acc < accumulate
             fn = _get_step(acc, sizes[size_rng.integers(len(sizes))]
-                           if tc.multi_scale else None)
+                           if tc.multi_scale and not ramping else None)
             if "tiles" in micro[0] or "canvases" in micro[0]:
                 # device-aug tail (data/device_aug.py): warp/HSV/flip/mixup
                 # run on-device; output is already normalized float
@@ -456,13 +470,17 @@ def train(tc: TrainConfig, train_ds: Optional[DetectionDataset] = None,
     final_results = None
     best_path = save_dir / "weights" / "best.ckpt"
     last_path = save_dir / "weights" / "last.ckpt"
-    if val_loader is not None and not tc.noval and best_path.exists():
-        blob = load_checkpoint(best_path)
+    # best when it exists, else last — the reference evaluates whichever
+    # final weights file is present (train.py:497: best if exists else last),
+    # so --nosave runs (best never written) still get the final eval
+    final_path = best_path if best_path.exists() else last_path
+    if val_loader is not None and not tc.noval and final_path.exists():
+        blob = load_checkpoint(final_path)
         final_results = evaluate(
             plan, blob.get("ema_params") or blob["params"],
             blob.get("ema_state") or blob["state"], val_loader(),
             names=names, verbose=True, v5_metric=tc.v5_metric)
-        print("final best.ckpt: "
+        print(f"final {final_path.name}: "
               + " ".join(f"{k}={final_results[k]:.4f}"
                          for k in ("mp", "mr", "map50", "map")))
     for p in (last_path, best_path):
