@@ -61,6 +61,10 @@ def detect(opt):
         for i, (im0, d) in enumerate(zip(im0_list, results)):
             p = Path(path[i] if isinstance(path, list) else path)
             msg = f"{p.name}: {len(d)} detections"
+            # videos/streams get one txt per FRAME (reference detect.py:165:
+            # txt_path += '' if image else f'_{frame}')
+            stem = p.stem if dataset.mode == "image" else \
+                f"{p.stem}_{getattr(dataset, 'frame', n_frames)}"
             if opt.save_txt:
                 h0, w0 = im0.shape[:2]
                 lines = []
@@ -72,7 +76,7 @@ def detect(opt):
                     row = [int(cls), cx, cy, bw, bh] + (
                         [conf] if opt.save_conf else [])
                     lines.append(" ".join(f"{v:g}" for v in row))
-                (save_dir / "labels" / f"{p.stem}.txt").write_text(
+                (save_dir / "labels" / f"{stem}.txt").write_text(
                     "\n".join(lines))
             if not opt.nosave:
                 draw_detections(im0, d, names)
@@ -133,6 +137,12 @@ def main():
             if w.endswith(".ckpt"):
                 strip_checkpoint(w)
                 print(f"stripped {w}")
+            else:
+                # the reference strips any weights file (detect.py:174-177);
+                # only our native .ckpt format can be stripped in place here
+                print(f"WARNING: --update skipped {w} — only native .ckpt "
+                      "files can be stripped in place (torch .pt imports "
+                      "are read-only)")
 
 
 if __name__ == "__main__":

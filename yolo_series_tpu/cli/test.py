@@ -111,6 +111,13 @@ def main():
     p.add_argument("--exist-ok", action="store_true")
     opt = p.parse_args()
 
+    if opt.save_hybrid:
+        # reference test.py:304: the GT rows injected at conf 1.0 match
+        # themselves, so the reported P/R/mAP measure the hybrid labels,
+        # not the model
+        print("WARNING: --save-hybrid will return high mAP from hybrid "
+              "labels, not from predictions alone")
+
     if opt.task == "speed":
         opt.conf_thres, opt.iou_thres, opt.save_json = 0.25, 0.45, False
         run_eval(opt)

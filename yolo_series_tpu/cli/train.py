@@ -12,7 +12,7 @@ from __future__ import annotations
 import argparse
 from pathlib import Path
 
-from yolo_series_tpu.cli.detect import increment_path
+from yolo_series_tpu.utils.general import increment_path
 
 
 def make_parser():
@@ -63,8 +63,10 @@ def make_parser():
     p.add_argument("--linear-lr", action="store_true")
     p.add_argument("--label-smoothing", type=float, default=0.0)
     p.add_argument("--max-labels", type=int, default=256)
-    p.add_argument("--noval", action="store_true")
-    p.add_argument("--save-period", type=int, default=25)
+    p.add_argument("--noval", "--notest", action="store_true", dest="noval",
+                   help="skip per-epoch eval (reference --notest)")
+    p.add_argument("--save-period", "--save_period", type=int, default=25,
+                   dest="save_period")
     p.add_argument("--devices", type=int, default=None,
                    help="data-parallel device count (default: all)")
     p.add_argument("--project", default="runs/train")
