@@ -289,6 +289,15 @@ class DetectionDataset:
                 img = cv2.imread(path, cv2.IMREAD_REDUCED_COLOR_2)
             if img is not None and img.ndim == 2:
                 img = cv2.cvtColor(img, cv2.COLOR_GRAY2BGR)
+            if img is not None:
+                # guard against a stale label cache (file re-encoded after
+                # caching; EXIF-swapped dims): the reduced decode must match
+                # the cached size, else (h0, w0) and the label->pixel math
+                # would silently mis-scale — fall back to a full decode
+                scale = round(max(h0, w0) / max(img.shape[:2]))
+                if (abs(img.shape[0] * scale - h0) > scale
+                        or abs(img.shape[1] * scale - w0) > scale):
+                    img = None
         if img is None:
             img = cv2.imread(path)
             assert img is not None, f"image not found {path}"
@@ -668,7 +677,13 @@ class create_loader:
 
     def __len__(self):
         n = len(self.ds)
-        return n // self.bs if self.drop_last else (n + self.bs - 1) // self.bs
+        if self.drop_last:
+            return n // self.bs
+        full, r = divmod(n, self.bs)
+        if r and self.quad and r < 4:
+            r = 0  # a <4-sample tail cannot form a quad group (collate_fn4
+            # consumes samples four at a time, reference datasets.py:931)
+        return full + (1 if r else 0)
 
     def _pooled(self, key, shape, dtype=np.uint8):
         """Round-robin reusable batch buffer, pages pre-touched.
@@ -687,7 +702,13 @@ class create_loader:
         is at least max-live: if the buffer about to be reused were still
         live, every later same-worker allocation would be live too
         (pool_size + 1 live > max live, contradiction). Per-worker max
-        live = prefetch queued + 1 in-flight + hold retained + 1 in-hand.
+        live = prefetch queued + 1 in-flight + the consumer's share of its
+        retained window: the retained `hold` batches plus the in-hand one
+        are the most recent hold+1 CONSECUTIVE global batches, and batch i
+        comes from worker i%w, so any hold+1-wide window holds at most
+        ceil((hold+1)/w) buffers of one worker — sizing each pool for the
+        full `hold` would multiply buffer memory (and the ~8 MB/s
+        first-touch cost) by ~w for nothing.
         A single pool shared across workers has NO such order guarantee
         (a lagging worker's allocations interleave arbitrarily with a fast
         worker's releases), so pools are never shared between workers.
@@ -696,9 +717,10 @@ class create_loader:
             pool = self._pools.get(key)
             if pool is None or pool[0].shape != shape or pool[0].dtype != dtype:
                 pool = []
-                # prefetch queued + 1 in-flight (this worker) + hold
-                # retained + 1 in-hand (consumer)
-                for _ in range(self.prefetch + self.hold + 2):
+                # prefetch queued + 1 in-flight (this worker) +
+                # ceil((hold+1)/workers) retained-or-in-hand (consumer)
+                share = -(-(self.hold + 1) // self.workers)
+                for _ in range(self.prefetch + 1 + share):
                     a = np.empty(shape, dtype)
                     a.fill(0)  # force page-in once, up front
                     pool.append(a)
@@ -830,6 +852,15 @@ class create_loader:
         self.epoch += 1
         nb = len(self)
         batches = [order[i * self.bs:(i + 1) * self.bs] for i in range(nb)]
+        if self.quad and batches and len(batches[-1]) % 4:
+            # trim a drop_last=False tail to whole quad groups (it would
+            # otherwise crash _quad_item grouping); announce the drop
+            # instead of silently losing samples
+            keep = 4 * (len(batches[-1]) // 4)
+            print(f"quad collate: dropping {len(batches[-1]) - keep} "
+                  "tail samples (not a multiple of 4)")
+            batches[-1] = batches[-1][:keep]
+            assert len(batches[-1]), "__len__ excludes <4-sample tails"
 
         w = self.workers
         qs = [queue_mod.Queue(maxsize=self.prefetch) for _ in range(w)]
