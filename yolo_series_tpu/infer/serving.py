@@ -220,13 +220,26 @@ class DynamicBatcher:
             images = (self.stage_fn(frames) if self.stage_fn is not None
                       else np.stack(frames))
             out, _n = self.engine.infer_async(images)
-            self._done.put((batch, out))  # blocks at `inflight` pending
+            # blocks at `inflight` pending — but never past close(): a
+            # plain put() could wedge forever once the completers exit
+            while not self._stop:
+                try:
+                    self._done.put((batch, out), timeout=0.1)
+                    batch = None
+                    break
+                except queue_mod.Full:
+                    continue
+            if batch is not None:  # shut down mid-handoff: wake the waiters
+                for b in batch:
+                    b["event"].set()
 
     def _complete(self):
-        while not self._stop:
+        while True:
             try:
                 batch, out = self._done.get(timeout=0.1)
             except queue_mod.Empty:
+                if self._stop:
+                    return  # drain everything dispatched before exiting
                 continue
             if getattr(self.engine, "pack_output", False):
                 host = self.engine.unpack(np.asarray(out))
@@ -237,4 +250,23 @@ class DynamicBatcher:
                 b["event"].set()
 
     def close(self):
+        """Stop the pipeline. In-flight batches still complete (completers
+        drain _done before exiting); anything left undispatched is woken
+        with result None so no wait() hangs forever."""
         self._stop = True
+        self.worker.join(timeout=10)
+        for t in self.completer_pool:
+            t.join(timeout=10)
+        while True:  # never-dispatched requests
+            try:
+                slot = self.q.get_nowait()
+            except queue_mod.Empty:
+                break
+            slot["event"].set()
+        while True:  # dispatched but stranded between queues
+            try:
+                batch, _ = self._done.get_nowait()
+            except queue_mod.Empty:
+                break
+            for b in batch:
+                b["event"].set()
