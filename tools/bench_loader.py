@@ -97,6 +97,7 @@ def main():
                "device_tail": args.device_tail,
                "cache_images": args.cache_images,
                "workers": args.workers,
+               "fast_decode": args.fast_decode,
                "feeds_119imgs_consumer": rate > 119.0}
         print(json.dumps(out))
 
