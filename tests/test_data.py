@@ -557,3 +557,61 @@ def test_loader_workers_preserve_batch_order(coco_tree):
         assert wp == gp
         np.testing.assert_array_equal(wi, gi)
         np.testing.assert_array_equal(wl, gl)
+
+
+def test_quad_tail_handling(coco_tree, tmp_path):
+    """drop_last=False tails in quad mode (reference collate_fn4 consumes
+    samples 4 at a time, datasets.py:931): a 6-sample tail batch is
+    trimmed to one whole quad group, and a <4-sample tail is excluded by
+    __len__ entirely — neither crashes the quad grouping."""
+    root, files = coco_tree
+    lst = tmp_path / "six.txt"
+    lst.write_text("\n".join(files[:6]))
+    ds = DetectionDataset(str(lst), img_size=64, batch_size=8, augment=False)
+
+    # 6-sample tail-only epoch (bs=8): 6 -> 4 samples -> 1 quad image
+    ld = create_loader(ds, batch_size=8, shuffle=False, max_labels=64,
+                       quad=True, drop_last=False)
+    assert len(ld) == 1
+    batches = list(ld)
+    assert len(batches) == 1
+    assert batches[0]["images"].shape == (1, 128, 128, 3)
+
+    # 2-sample tail (bs=4): excluded by __len__, only the full batch runs
+    ld4 = create_loader(ds, batch_size=4, shuffle=False, max_labels=64,
+                        quad=True, drop_last=False)
+    assert len(ld4) == 1
+    batches4 = list(ld4)
+    assert len(batches4) == 1
+    assert batches4[0]["images"].shape == (1, 128, 128, 3)
+
+
+def test_fast_decode_stale_cache_fallback(tmp_path):
+    """A file re-encoded at different dimensions AFTER the label cache was
+    built must not be mis-scaled by the reduced-decode path: the guard
+    detects the cached-vs-decoded size mismatch and falls back to a full
+    decode with the file's true dimensions."""
+    d = tmp_path / "imgs"
+    d.mkdir()
+    (tmp_path / "labels").mkdir()
+    rng = np.random.default_rng(0)
+    p = d / "a.jpg"
+    cv2.imwrite(str(p), rng.integers(0, 255, (600, 800, 3), dtype=np.uint8))
+    (tmp_path / "labels" / "a.txt").write_text("0 0.5 0.5 0.2 0.2")
+
+    ds = DetectionDataset(str(d), img_size=64, batch_size=1, augment=False,
+                          fast_decode=True)
+    assert tuple(ds.shapes[0]) == (800.0, 600.0)
+
+    # re-encode at a non-integer scale of the cached dims (NOT an exact
+    # half/quarter, which is indistinguishable from a reduced decode)
+    new = rng.integers(0, 255, (350, 500, 3), dtype=np.uint8)
+    cv2.imwrite(str(p), new)
+
+    img, (h0, w0), hw = ds._read_resize(0)
+    assert (h0, w0) == (350, 500), "fallback must use the file's true dims"
+    ref = DetectionDataset(str(d), img_size=64, batch_size=1, augment=False,
+                           fast_decode=False)
+    ref_img, ref_hw0, ref_hw = ref._read_resize(0)
+    assert (h0, w0) == ref_hw0 and hw == ref_hw
+    np.testing.assert_array_equal(img, ref_img)

@@ -187,3 +187,25 @@ def test_warmup_accumulate_ramp_cadence(shapes_dataset, tmp_path):
         autoanchor=False)
     out = train(tc, train_ds=train_ds, val_ds=None)
     assert int(out["train_state"].step) == 6
+
+
+def test_broken_val_path_fails_loudly(shapes_dataset, tmp_path):
+    """A typo'd data['val'] must raise before training, not silently
+    disable per-epoch eval + best-fitness selection (the reference
+    crashes in create_dataloader, train.py:430)."""
+    import jax.numpy as jnp
+
+    from yolo_series_tpu.train.trainer import TrainConfig, train
+
+    data_yaml = tmp_path / "data.yaml"
+    data_yaml.write_text(
+        f"train: {shapes_dataset / 'images'}\n"
+        f"val: {tmp_path / 'no_such_dir'}\n"
+        "nc: 1\nnames: ['thing']\n")
+    tc = TrainConfig(
+        cfg="yolo_series_tpu/models/cfg/training/yolov7-tiny.yaml",
+        data=str(data_yaml), epochs=1, batch_size=4, img_size=64,
+        save_dir=str(tmp_path / "run"), autoanchor=False,
+        compute_dtype=jnp.float32, warmup_min_steps=0)
+    with pytest.raises(RuntimeError, match="val"):
+        train(tc)

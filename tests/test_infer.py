@@ -316,3 +316,38 @@ def test_detect_video_end_to_end(tmp_path, monkeypatch):
     assert frames == n
     txts = sorted((tmp_path / "runs" / "exp" / "labels").glob("clip_*.txt"))
     assert len(txts) == n, f"expected one txt per frame, got {len(txts)}"
+
+
+def test_dynamic_batcher_close_wakes_stranded(tiny_fused):
+    """close() must terminate the pipeline promptly and set EVERY waiter's
+    event: requests stranded in the queues resolve with result None
+    instead of hanging a client thread forever (the pre-fix dispatch
+    thread could wedge on a full _done queue once completers exited)."""
+    import time
+
+    from yolo_series_tpu.infer.serving import DynamicBatcher, ServingEngine
+
+    plan, params, state = tiny_fused
+    eng = ServingEngine(plan, params, state, batch_size=2, img_size=128,
+                        max_det=10, dtype=jnp.float32)
+
+    def slow_stage(frames):  # pile up undispatched submissions
+        time.sleep(0.25)
+        return np.stack(frames)
+
+    batcher = DynamicBatcher(eng, max_delay_ms=1, inflight=1,
+                             stage_fn=slow_stage, completers=1)
+    rng = np.random.default_rng(0)
+    slots = [batcher.submit(
+        rng.integers(0, 255, (128, 128, 3), dtype=np.uint8))
+        for _ in range(12)]
+    time.sleep(0.2)  # let a couple of batches enter the pipeline
+    t0 = time.perf_counter()
+    batcher.close()
+    assert time.perf_counter() - t0 < 15, "close() wedged"
+    for i, s in enumerate(slots):
+        assert s["event"].wait(5), f"waiter {i} left hanging across close()"
+        if s["result"] is not None:  # completed ones must be well-formed
+            assert s["result"]["det_boxes"].shape == (10, 4)
+    assert not batcher.worker.is_alive()
+    assert not any(t.is_alive() for t in batcher.completer_pool)
