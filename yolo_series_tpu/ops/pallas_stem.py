@@ -18,9 +18,17 @@ Conv-as-matmul machinery follows ops/pallas_elan.py: W-shifted patch
 stores into VMEM scratch, one MXU dot per H tap, per-stage boundary-row
 re-zeroing so every stage reproduces its own zero padding exactly. The
 H-stride-2 of the last conv becomes a stride-2 slice on the (leading)
-row axis of the patch; the W-stride-2 folds into the patch layout via a
-(rows, W, c) -> (rows, W/2, 2c) contiguous reshape, so no strided lane
-access is needed.
+row axis of the patch. The W-stride-2 is handled by keeping the WHOLE
+kernel in a W-phase-packed layout: the input arrives as
+(rows, W/2, 2*C1) — a free XLA bitcast of the NHWC (rows, W, C1)
+tensor, done outside the kernel — and stages S1/S2 compute even/odd-W
+outputs side by side in the sublane axis ([0:W/2] = even, [W/2:] =
+odd), so every W-neighbor access is a stride-1 offset slice of the
+packed value and S3 simply consumes the even/odd halves. Mosaic cannot
+lower minor-dim reshapes or sublane-strided slices (the first kernel
+shape, which reshaped (rows, W, c) -> (rows, W/2, 2c) INSIDE the
+kernel, failed layout inference on the real chip); this form needs
+neither.
 
 Applied by `make_pallas_stem` after `fuse_model`, replacing
 `make_fast_stem` for the serving path (training keeps the phase-fold,
@@ -56,7 +64,7 @@ _PAD = 3
 def _s3_variant() -> str:
     import os
 
-    return os.environ.get("YOLO_TPU_STEM_S3", "refstride")
+    return os.environ.get("YOLO_TPU_STEM_S3", "evenodd")
 
 
 def _th_override():
@@ -68,13 +76,16 @@ def _th_override():
 
 @functools.lru_cache(maxsize=16)
 def _make_stem_call(HX, W, C1, CM, COUT, TH, interpret, s3_variant="refstride"):
-    """Kernel over the k4s2 phase conv's output x: (B, HX + 2*_PAD, W, C1)
-    pre-padded with zero rows; returns (B, HX//2, W//2, COUT).
+    """Kernel over the k4s2 phase conv's output x, W-phase-packed to
+    (B, HX + 2*_PAD, W/2, 2*C1) with zero halo rows (xp[..., ow, 0:C1] =
+    x[..., 2ow, :], xp[..., ow, C1:] = x[..., 2ow+1, :]); returns
+    (B, HX//2, W//2, COUT).
 
     C1: phase channels (4*c0, e.g. 128); CM: mid width (e.g. 64);
     COUT: final channels (e.g. 128). TH: output tile rows (at HX//2 res).
     """
     R = 2 * TH + 2 * _PAD  # x rows per block (needs 2*TH+4; +2 slack)
+    Wh = W // 2
 
     def kernel(x_ref, wk2_ref, b1_ref, ws2_ref, b2_ref, ws3_ref, b3_ref,
                out_ref, sp1, sp2, sp3):
@@ -94,50 +105,78 @@ def _make_stem_call(HX, W, C1, CM, COUT, TH, interpret, s3_variant="refstride"):
         # silu(bias) values, NOT zeros (the k4s2 conv emits the halo band
         # directly to avoid a full-tensor pad copy) — zero them here so S1
         # sees its own conv zero padding
-        xb = mask_rows(x_ref[:], -_PAD)  # (R, W, C1)
+        xb = mask_rows(x_ref[:], -_PAD)  # (R, Wh, 2*C1)
+        xlo = xb[:, :, 0:C1]             # x[2ow]
+        xhi = xb[:, :, C1:2 * C1]        # x[2ow+1]
+
+        # Stages S1/S2 run in packed-W form: sublane halves hold the two
+        # W phases side by side ([0:Wh] = even output cols w=2ow,
+        # [Wh:2Wh] = odd cols w=2ow+1), so one dot per H tap covers both
+        # phases and every W-neighbor access is a stride-1 offset slice.
 
         # ---- S1: k2/s1, pad (1,0), C1 -> CM (the phase-consume conv) ----
-        # out row t <- x rows t-1, t; out col w <- x cols w-1, w
-        sp1[:, 1:W, 0:C1] = xb[:, 0:W - 1, :]
+        # out col w <- x cols w-1 (patch block 0), w (block 1)
+        # even w=2ow: x[2ow-1]=xhi[ow-1], x[2ow]=xlo[ow]
+        sp1[:, 1:Wh, 0:C1] = xhi[:, 0:Wh - 1, :]
         sp1[:, 0:1, 0:C1] = jnp.zeros((R, 1, C1), jnp.bfloat16)
-        sp1[:, :, C1:2 * C1] = xb
+        sp1[:, 0:Wh, C1:2 * C1] = xlo
+        # odd w=2ow+1: x[2ow]=xlo[ow], x[2ow+1]=xhi[ow]
+        sp1[:, Wh:2 * Wh, 0:C1] = xlo
+        sp1[:, Wh:2 * Wh, C1:2 * C1] = xhi
         n1 = R - 1  # S1 local i -> global row t = base + i - 2
         a1 = _dot(sp1[0:n1], wk2_ref[0])      # x row t-1 (local i)
         a1 += _dot(sp1[1:n1 + 1], wk2_ref[1])  # x row t   (local i+1)
         s1 = _silu(a1 + b1_ref[:].astype(jnp.float32)).astype(jnp.bfloat16)
-        s1 = mask_rows(s1, -2)
+        s1 = mask_rows(s1, -2)                 # (n1, 2*Wh, CM)
+        s1lo = s1[:, 0:Wh, :]
+        s1hi = s1[:, Wh:2 * Wh, :]
 
-        # ---- S2: k3/s1, pad 1, CM -> CM ----
-        sp2[0:n1, 1:W, 0:CM] = s1[:, 0:W - 1, :]
-        sp2[0:n1, :, CM:2 * CM] = s1
-        sp2[0:n1, 0:W - 1, 2 * CM:3 * CM] = s1[:, 1:W, :]
+        # ---- S2: k3/s1, pad 1, CM -> CM (packed-W, taps -1/0/+1) ----
         z = jnp.zeros((n1, 1, CM), jnp.bfloat16)
+        # even w=2ow: s1[2ow-1]=hi[ow-1], s1[2ow]=lo[ow], s1[2ow+1]=hi[ow]
+        sp2[0:n1, 1:Wh, 0:CM] = s1hi[:, 0:Wh - 1, :]
         sp2[0:n1, 0:1, 0:CM] = z
-        sp2[0:n1, W - 1:W, 2 * CM:3 * CM] = z
+        sp2[0:n1, 0:Wh, CM:2 * CM] = s1lo
+        sp2[0:n1, 0:Wh, 2 * CM:3 * CM] = s1hi
+        # odd w=2ow+1: s1[2ow]=lo[ow], s1[2ow+1]=hi[ow], s1[2ow+2]=lo[ow+1]
+        sp2[0:n1, Wh:2 * Wh, 0:CM] = s1lo
+        sp2[0:n1, Wh:2 * Wh, CM:2 * CM] = s1hi
+        sp2[0:n1, Wh:2 * Wh - 1, 2 * CM:3 * CM] = s1lo[:, 1:Wh, :]
+        sp2[0:n1, 2 * Wh - 1:2 * Wh, 2 * CM:3 * CM] = z
         n2 = n1 - 2  # S2 local m -> global row q = base + m - 1
         a2 = _dot(sp2[0:n2], ws2_ref[0])
         a2 += _dot(sp2[1:n2 + 1], ws2_ref[1])
         a2 += _dot(sp2[2:n2 + 2], ws2_ref[2])
         s2 = _silu(a2 + b2_ref[:].astype(jnp.float32)).astype(jnp.bfloat16)
-        s2 = mask_rows(s2, -1)
+        s2 = mask_rows(s2, -1)                 # (n2, 2*Wh, CM)
+        s2lo = s2[:, 0:Wh, :]
+        s2hi = s2[:, Wh:2 * Wh, :]
 
-        # ---- S3: k3/s2, pad 1, CM -> COUT, H and W stride 2 ----
-        # W stride via the contiguous reshape (n2, W, CM) -> (n2, W/2, 2CM):
-        # packed[m, ow, 0:CM] = s2[m, 2ow], packed[m, ow, CM:] = s2[m, 2ow+1]
-        Wh = W // 2
-        packed = s2.reshape(n2, Wh, 2 * CM)
-        # patch col blocks by W tap: dx=-1 -> s2[2ow-1] = packed[ow-1].hi,
-        # dx=0 -> packed[ow].lo, dx=+1 -> packed[ow].hi
-        sp3[:, 1:Wh, 0:CM] = packed[:, 0:Wh - 1, CM:2 * CM]
+        # ---- S3: k3/s2, pad 1, CM -> COUT — only even cols survive ----
+        # patch col blocks by W tap: dx=-1 -> s2[2ow-1] = s2hi[ow-1],
+        # dx=0 -> s2lo[ow], dx=+1 -> s2hi[ow]
+        sp3[:, 1:Wh, 0:CM] = s2hi[:, 0:Wh - 1, :]
         sp3[:, 0:1, 0:CM] = jnp.zeros((n2, 1, CM), jnp.bfloat16)
-        sp3[:, :, CM:2 * CM] = packed[:, :, 0:CM]
-        sp3[:, :, 2 * CM:3 * CM] = packed[:, :, CM:2 * CM]
+        sp3[:, :, CM:2 * CM] = s2lo
+        sp3[:, :, 2 * CM:3 * CM] = s2hi
         # H taps: out local u (global p = base//2 + u) <- S2 rows 2p-1+dy
-        # = local m = 2u + dy; stride-2 slice on the leading (row) axis.
-        # Two lowering variants (same math): strided reads straight off the
-        # scratch ref, or one contiguous read + strided value slices —
-        # Mosaic support differs by construct, pick via env for experiments.
-        if s3_variant == "valstride":
+        # = local m = 2u + dy — a stride-2 access on the leading (row)
+        # axis. Mosaic rejects stride-2 vector.extract_strided_slice
+        # (valstride failed verification on the real chip), so the default
+        # 'evenodd' form reads an even count of rows and splits parity by
+        # a LEADING-dim reshape (layout-free: minor (Wh, 3CM) dims are
+        # untouched) — every slice is then stride-1:
+        #   dy=0 -> even rows 0..2TH-2, dy=1 -> odd 1..2TH-1,
+        #   dy=2 -> even 2..2TH.
+        # refstride/valstride kept behind YOLO_TPU_STEM_S3 for experiments.
+        if s3_variant == "evenodd":
+            p3 = sp3[0:2 * TH + 2].reshape(TH + 1, 2, Wh, 3 * CM)
+            pe = p3[:, 0]  # sp3 rows 0,2,...,2TH
+            po = p3[:, 1]  # sp3 rows 1,3,...,2TH+1
+            acc = _dot(pe[0:TH], ws3_ref[0])
+            acc += _dot(po[0:TH], ws3_ref[1])
+            acc += _dot(pe[1:TH + 1], ws3_ref[2])
+        elif s3_variant == "valstride":
             p3 = sp3[0:2 * TH + 1]
             acc = _dot(lax.slice(p3, (0, 0, 0), (2 * TH - 1, Wh, 3 * CM),
                                  (2, 1, 1)), ws3_ref[0])
@@ -161,17 +200,17 @@ def _make_stem_call(HX, W, C1, CM, COUT, TH, interpret, s3_variant="refstride"):
             grid=(B, (HX // 2) // TH),
             in_specs=[
                 pl.BlockSpec(
-                    (None, pl.Element(R), pl.Element(W), pl.Element(C1)),
+                    (None, pl.Element(R), pl.Element(Wh), pl.Element(2 * C1)),
                     index_map=lambda b, h: (b, h * 2 * TH, 0, 0),
                     memory_space=pltpu.VMEM),
             ] + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 6,
-            out_specs=pl.BlockSpec((None, TH, W // 2, COUT),
+            out_specs=pl.BlockSpec((None, TH, Wh, COUT),
                                    lambda b, h: (b, h, 0, 0),
                                    memory_space=pltpu.VMEM),
             scratch_shapes=[
-                pltpu.VMEM((R, W, 2 * C1), jnp.bfloat16),
-                pltpu.VMEM((R - 1, W, 3 * CM), jnp.bfloat16),
-                pltpu.VMEM((R - 3, W // 2, 3 * CM), jnp.bfloat16),
+                pltpu.VMEM((R, 2 * Wh, 2 * C1), jnp.bfloat16),
+                pltpu.VMEM((R - 1, 2 * Wh, 3 * CM), jnp.bfloat16),
+                pltpu.VMEM((R - 3, Wh, 3 * CM), jnp.bfloat16),
             ],
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("parallel", "arbitrary"),
@@ -263,7 +302,12 @@ class FusedStem(Block):
                                _s3_variant())
         args = tuple(params[k].astype(jnp.bfloat16) for k in
                      ("wk2", "b1", "ws2", "b2", "ws3", "b3"))
-        y = call(x.astype(jnp.bfloat16), args)
+        # W-phase pack (W, C1) -> (W/2, 2*C1): adjacent in NHWC memory, so
+        # this is a free bitcast for XLA; the kernel never reshapes (Mosaic
+        # cannot lower minor-dim shape casts on this chip)
+        xp = x.astype(jnp.bfloat16).reshape(
+            x.shape[0], x.shape[1], W // 2, 2 * self.c1)
+        y = call(xp, args)
         return y.astype(ctx.dtype), state
 
 
