@@ -12,13 +12,17 @@ the reference's TensorRT-FP16 end2end engine with EfficientNMS
 the vs_baseline denominator; :34-35 publishes 15.07 ms bs8 latency,
 the p50 comparison point).
 
-Throughput timing: batches are dispatched back-to-back (device executes
-in order, as a serving queue would) and the LAST batch's output is fetched
-to the host, which bounds completion of the whole run — robust against the
-axon relay's unreliable block_until_ready. Latency timing: one dispatch +
-output fetch per measurement, p50 over repeats, input pre-staged (the dev
-tunnel's H2D runs at ~27 MB/s and would otherwise measure the tunnel;
-`relay_rtt_ms` reports the tunnel's fixed round-trip separately).
+Throughput timing: ONE dispatch runs N back-to-back executions on-device
+(`lax.fori_loop`, consecutive iterations chained through the carry so XLA
+cannot CSE them), and the per-batch time is the SLOPE between an N-iter
+and a 2N-iter run — measuring steady-state chip throughput exactly as a
+serving queue on a host-attached chip sees it, independent of the dev
+tunnel's dispatch round-trip (46 ms RTT days would otherwise cap ANY
+engine at ~21 batches/s; `dispatch_fps` reports that host-loop number
+separately). Latency timing: one dispatch + output fetch per measurement,
+p50 over repeats, input pre-staged (the dev tunnel's H2D runs at
+~27 MB/s and would otherwise measure the tunnel; `relay_rtt_ms` reports
+the tunnel's fixed round-trip separately).
 
 Input realism: random uint8 frames through RANDOM-INIT fused weights.
 Every stage is shape-static (top-256 candidates padded with -inf, fixed
@@ -86,13 +90,41 @@ def main():
                               iou_thres=0.45, max_det=300, max_nms=256,
                               compute_dtype=jnp.bfloat16)
 
+    from jax import lax
+
+    @jax.jit
+    def run_n(x, n):
+        # n sequential executions on-device in one dispatch; the carry
+        # perturbs the next input (uint8 +0/+1) so iterations form a real
+        # dependency chain XLA cannot collapse
+        def body(i, carry):
+            xi = x + (carry & 1).astype(jnp.uint8)
+            out = end2end(xi)             # jit-of-jit inlines when traced
+            return carry + jnp.sum(out[0]).astype(jnp.int32)
+        return lax.fori_loop(0, n, body, jnp.int32(0))
+
     rng = np.random.default_rng(0)
     x = jax.device_put(
         jnp.asarray(rng.integers(0, 255, (BATCH, IMG, IMG, 3), np.uint8)), tpu)
 
     out = end2end(x)                      # compile + warmup
     _ = np.asarray(out[0])
+    _ = np.asarray(run_n(x, ITERS))       # compile + warmup the loop form
+    _ = np.asarray(run_n(x, 2 * ITERS))
 
+    def loop_time(n):
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            _ = np.asarray(run_n(x, n))   # fetch bounds the whole run
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    # slope between N and 2N removes the fixed dispatch+fetch tunnel cost
+    per_batch = (loop_time(2 * ITERS) - loop_time(ITERS)) / ITERS
+    fps = BATCH / per_batch
+
+    # host-side dispatch loop (what the dev tunnel sustains end-to-end)
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
@@ -100,7 +132,7 @@ def main():
             out = end2end(x)              # back-to-back dispatch
         _ = np.asarray(out[0])            # fetch of last batch bounds the run
         best = min(best, (time.perf_counter() - t0) / ITERS)
-    fps = BATCH / best
+    dispatch_fps = BATCH / best
 
     # single-request device latency: dispatch one pre-staged uint8 batch,
     # fetch the (small) num_dets output. This is the number comparable to
@@ -148,6 +180,7 @@ def main():
         "vs_baseline": round(fps / BASELINE_FPS, 3),
         "p50_ms_bs1": round(p50_1, 2),
         "p50_ms_bs8": round(p50_8, 2),
+        "dispatch_fps": round(dispatch_fps, 1),
         "relay_rtt_ms": round(relay_rtt, 2),
         "baseline_ms_bs8": 15.07,
     }))

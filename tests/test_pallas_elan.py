@@ -35,7 +35,8 @@ def test_transform_fallback_bit_exact(fused_yolov7):
     weights; the whole-model output must be bit-exact vs the unfused
     serving program (it is the same math on the same bf16 weights)."""
     plan, params, state = fused_yolov7
-    plan2, params2, state2 = pe.make_pallas_elan(plan, params, state)
+    plan2, params2, state2 = pe.make_pallas_elan(plan, params, state,
+                                                 force=True)
     assert plan2 is not plan
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.uniform(0, 1, (1, 128, 128, 3)).astype(np.float32))
@@ -52,7 +53,8 @@ def test_transform_fallback_bit_exact(fused_yolov7):
 def test_transform_noop_on_training_form():
     """BN-form params (no fuse_model) must leave the plan untouched."""
     m = Model.from_yaml("yolo_series_tpu/models/cfg/deploy/yolov7.yaml")
-    plan2, params2, state2 = pe.make_pallas_elan(m.plan, m.params, m.state)
+    plan2, params2, state2 = pe.make_pallas_elan(m.plan, m.params, m.state,
+                                                 force=True)
     assert plan2 is m.plan
 
 

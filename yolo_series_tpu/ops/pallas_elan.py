@@ -347,11 +347,28 @@ def _pack_span(lp, i):
     }
 
 
-def make_pallas_elan(plan: GraphPlan, params, state, only=None):
+def _elan_default_on() -> bool:
+    # Default flipped OFF 2026-08-18: the remote XLA compiler improved and
+    # the unfused conv chain now beats the kernel everywhere it used to
+    # win (full e2e A/B on the real chip: faststem-only 35.5 ms/batch =
+    # 902 img/s vs faststem+FusedELAN 43.4 ms = 737 img/s bs32@640; the
+    # bb160 8.8-vs-14.0 win from the earlier compiler no longer exists).
+    # Opt back in with YOLO_TPU_PALLAS_ELAN=1; interpret mode always
+    # engages so the CPU suite keeps exercising the kernel.
+    import os
+
+    return os.environ.get("YOLO_TPU_PALLAS_ELAN", "0") == "1" or _interpret()
+
+
+def make_pallas_elan(plan: GraphPlan, params, state, only=None, force=False):
     """Rewrite every fusable ELAN span into a FusedELAN block. Apply after
     fuse_model (+ make_fast_stem). Returns inputs unchanged if no span
-    matches (training form, exotic cfgs). `only`: optional collection of
-    span start indices to restrict the rewrite (perf experiments)."""
+    matches (training form, exotic cfgs) or the transform is not enabled
+    (YOLO_TPU_PALLAS_ELAN — see _elan_default_on; `force` overrides for
+    tests/experiments). `only`: optional collection of span start indices
+    to restrict the rewrite (perf experiments)."""
+    if not (force or _elan_default_on()):
+        return plan, params, state
     spans = find_elan_spans(plan, params)
     if only is not None:
         spans = tuple(s for s in spans if s[0] in only)
