@@ -90,18 +90,7 @@ def main():
                               iou_thres=0.45, max_det=300, max_nms=256,
                               compute_dtype=jnp.bfloat16)
 
-    from jax import lax
-
-    @jax.jit
-    def run_n(x, n):
-        # n sequential executions on-device in one dispatch; the carry
-        # perturbs the next input (uint8 +0/+1) so iterations form a real
-        # dependency chain XLA cannot collapse
-        def body(i, carry):
-            xi = x + (carry & 1).astype(jnp.uint8)
-            out = end2end(xi)             # jit-of-jit inlines when traced
-            return carry + jnp.sum(out[0]).astype(jnp.int32)
-        return lax.fori_loop(0, n, body, jnp.int32(0))
+    from yolo_series_tpu.utils.chiprate import chip_rate
 
     rng = np.random.default_rng(0)
     x = jax.device_put(
@@ -109,19 +98,8 @@ def main():
 
     out = end2end(x)                      # compile + warmup
     _ = np.asarray(out[0])
-    _ = np.asarray(run_n(x, ITERS))       # compile + warmup the loop form
-    _ = np.asarray(run_n(x, 2 * ITERS))
 
-    def loop_time(n):
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            _ = np.asarray(run_n(x, n))   # fetch bounds the whole run
-            best = min(best, time.perf_counter() - t0)
-        return best
-
-    # slope between N and 2N removes the fixed dispatch+fetch tunnel cost
-    per_batch = (loop_time(2 * ITERS) - loop_time(ITERS)) / ITERS
+    per_batch = chip_rate(end2end, x, iters=ITERS)
     fps = BATCH / per_batch
 
     # host-side dispatch loop (what the dev tunnel sustains end-to-end)

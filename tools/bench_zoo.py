@@ -5,8 +5,9 @@ The reference publishes per-model FPS tables for its TRT deployments
 (README.md "Performance" table and deploy/triton-inference-server
 README.md:33-44); this measures the same end-to-end served contract
 (uint8 in, fused head + decode + on-TPU NMS out) for every deploy cfg,
-with the same transform stack bench.py uses (fuse + fast-stem + Pallas
-ELAN where profitable).
+with the same transform stack bench.py uses (fuse + fast-stem; the
+Pallas stem/ELAN kernels engage only via their env gates). Timing is the
+relay-robust on-device slope (utils/chiprate.py).
 
 Usage: python tools/bench_zoo.py [--models yolov7,yolov7-tiny,...]
        [--batch 32] [--iters 12]
@@ -20,7 +21,6 @@ from __future__ import annotations
 import argparse
 import json
 import os
-import time
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
 
@@ -65,19 +65,15 @@ def bench_one(name: str, batch: int, iters: int) -> dict:
                               iou_thres=0.45, max_det=300, max_nms=256,
                               compute_dtype=jnp.bfloat16)
 
+    from yolo_series_tpu.utils.chiprate import chip_rate
+
     rng = np.random.default_rng(0)
     x = jax.device_put(
         jnp.asarray(rng.integers(0, 255, (batch, size, size, 3), np.uint8)),
         tpu)
     out = end2end(x)
     _ = np.asarray(out[0])
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            out = end2end(x)
-        _ = np.asarray(out[0])
-        best = min(best, (time.perf_counter() - t0) / iters)
+    best = chip_rate(end2end, x, iters=iters)
     return {"model": name, "img_size": size, "batch": batch,
             "ms_per_batch": round(best * 1000.0, 2),
             "img_per_s": round(batch / best, 1)}
