@@ -209,3 +209,77 @@ def test_broken_val_path_fails_loudly(shapes_dataset, tmp_path):
         compute_dtype=jnp.float32, warmup_min_steps=0)
     with pytest.raises(RuntimeError, match="val"):
         train(tc)
+
+
+_IBIN_CFG = """\
+nc: 1
+depth_multiple: 1.0
+width_multiple: 1.0
+anchors:
+- [10, 13, 16, 30, 33, 23]
+- [30, 61, 62, 45, 59, 119]
+- [116, 90, 156, 198, 373, 326]
+backbone:
+- [-1, 1, conv, [16, 3, 2]]
+- [-1, 1, conv, [32, 3, 2]]
+- [-1, 1, conv, [32, 3, 2]]
+- [-1, 1, conv, [64, 3, 2]]
+- [-1, 1, conv, [64, 3, 2]]
+head:
+- [[2, 3, 4], 1, ibin, [nc, anchors, 21]]
+"""
+
+
+def test_ibin_trains_and_decodes(shapes_dataset, tmp_path):
+    """IBin end-to-end: the trainer dispatches ComputeLossBinOTA for an
+    IBin cfg (the reference ships the loss, utils/loss.py:848-1172, but
+    never wires it into train.py — here a bin cfg trains directly), the
+    loss drops, and the trained checkpoint decodes finite boxes through
+    the standard fused Detector path."""
+    import jax.numpy as jnp
+
+    from yolo_series_tpu.data.datasets import DetectionDataset
+    from yolo_series_tpu.infer.detector import Detector
+    from yolo_series_tpu.models.heads import IBin
+    from yolo_series_tpu.train.checkpoints import load_checkpoint_any
+    from yolo_series_tpu.train.trainer import TrainConfig, train
+
+    img_size = 160
+    hyp = {"mosaic": 0.0, "mixup": 0.0, "paste_in": 0.0, "lr0": 0.01,
+           "warmup_bias_lr": 0.01}
+    cfg = tmp_path / "yolov7-tiny-bin.yaml"
+    cfg.write_text(_IBIN_CFG)
+    data_yaml = tmp_path / "data.yaml"
+    data_yaml.write_text(yaml.dump({
+        "train": str(shapes_dataset / "images"),
+        "val": str(shapes_dataset / "images"),
+        "nc": 1, "names": ["box"]}))
+    train_ds = DetectionDataset(str(shapes_dataset / "images"),
+                                img_size=img_size, batch_size=8,
+                                augment=False, hyp=hyp)
+    tc = TrainConfig(cfg=str(cfg), data=str(data_yaml), hyp=hyp,
+                     epochs=15, batch_size=8, img_size=img_size,
+                     save_dir=str(tmp_path / "run_bin"),
+                     compute_dtype=jnp.float32, max_labels=32,
+                     noval=True, save_period=-1, warmup_min_steps=4,
+                     nominal_batch_size=8, autoanchor=False)
+    out = train(tc, train_ds=train_ds, val_ds=None)
+
+    rows = out["results"]
+    assert all(np.isfinite(r["train/total"]) for r in rows), rows
+    last3 = np.mean([r["train/total"] for r in rows[-3:]])
+    assert last3 < rows[0]["train/total"], \
+        [r["train/total"] for r in rows]
+
+    ckpt = str(tmp_path / "run_bin" / "weights" / "last.ckpt")
+    plan, _, _ = load_checkpoint_any(ckpt)
+    assert isinstance(plan.head, IBin)
+    det = Detector.from_checkpoint(ckpt, conf_thres=0.0, img_size=img_size,
+                                   dtype=jnp.float32)
+    im = cv2.imread(str(shapes_dataset / "images" / "im0.jpg"))
+    d = det(im)  # conf 0 -> rows exist; gate is a finite, well-formed decode
+    # (an untrained bin head may place boxes outside the frame: the bin
+    # decode spans 4x anchor, up to ~1500 px — range-clipping is the
+    # caller's job, as in reference detect.py:168 scale_coords+clip)
+    assert np.all(np.isfinite(d))
+    assert d.ndim == 2 and d.shape[1] == 6

@@ -24,7 +24,7 @@ from yolo_series_tpu.data.datasets import DetectionDataset, create_loader
 from yolo_series_tpu.losses import LossHyp, make_compute_loss, make_compute_loss_ota
 from yolo_series_tpu.losses.aux_ota import make_compute_loss_aux_ota
 from yolo_series_tpu.models.graph import compile_graph
-from yolo_series_tpu.models.heads import IAuxDetect
+from yolo_series_tpu.models.heads import IAuxDetect, IBin
 from yolo_series_tpu.models.model import init_model
 from yolo_series_tpu.eval.evaluator import evaluate
 from yolo_series_tpu.eval.metrics import fitness
@@ -201,6 +201,11 @@ def train(tc: TrainConfig, train_ds: Optional[DetectionDataset] = None,
     is_aux = isinstance(head, IAuxDetect)
     if is_aux:
         loss_fn = make_compute_loss_aux_ota(head, loss_hyp)
+    elif isinstance(head, IBin):
+        # the reference ships ComputeLossBinOTA (loss.py:848-1172) but never
+        # dispatches to it from train.py; here an IBin cfg trains directly
+        from yolo_series_tpu.losses.bin_ota import make_compute_loss_bin_ota
+        loss_fn = make_compute_loss_bin_ota(head, loss_hyp)
     elif hyp.get("loss_ota", 1):
         loss_fn = make_compute_loss_ota(head, loss_hyp)
     else:
