@@ -283,3 +283,17 @@ def test_ibin_trains_and_decodes(shapes_dataset, tmp_path):
     # caller's job, as in reference detect.py:168 scale_coords+clip)
     assert np.all(np.isfinite(d))
     assert d.ndim == 2 and d.shape[1] == 6
+
+    # evaluator path with an IBin head (advisor r3: noval=True left eval
+    # coverage to an unrecorded live run; now the suite drives it)
+    from yolo_series_tpu.data.datasets import create_loader
+    from yolo_series_tpu.eval.evaluator import evaluate
+    from yolo_series_tpu.models.reparam import fuse_model
+
+    eparams, estate = fuse_model(plan, *load_checkpoint_any(ckpt)[1:])
+    val_ds = DetectionDataset(str(shapes_dataset / "images"),
+                              img_size=img_size, batch_size=8, augment=False)
+    loader = create_loader(val_ds, batch_size=8, shuffle=False,
+                           max_labels=32, drop_last=False)
+    res = evaluate(plan, eparams, estate, loader, names=("box",))
+    assert np.isfinite(res["map50"]), res

@@ -204,6 +204,10 @@ def train(tc: TrainConfig, train_ds: Optional[DetectionDataset] = None,
     elif isinstance(head, IBin):
         # the reference ships ComputeLossBinOTA (loss.py:848-1172) but never
         # dispatches to it from train.py; here an IBin cfg trains directly
+        if not hyp.get("loss_ota", 1):
+            print("IBin head: loss_ota=0 ignored — ComputeLossBinOTA is the "
+                  "only bin-capable loss (the non-OTA ComputeLoss would "
+                  "misread IBin's binned w/h channel layout)")
         from yolo_series_tpu.losses.bin_ota import make_compute_loss_bin_ota
         loss_fn = make_compute_loss_bin_ota(head, loss_hyp)
     elif hyp.get("loss_ota", 1):
