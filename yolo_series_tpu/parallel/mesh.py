@@ -66,6 +66,45 @@ def host_local_slice(n: int, process_index: Optional[int] = None,
     return slice(pi * per, (pi + 1) * per)
 
 
+def init_distributed(coordinator_address: str, num_processes: int,
+                     process_id: int, local_device_ids=None):
+    """Multi-process (multi-host) runtime init — the TPU analog of the
+    reference's torch.distributed.init_process_group('nccl', 'env://')
+    (train.py:579-613). After this, jax.devices() is the GLOBAL device
+    list and jax.local_devices() this process's slice; one mesh over the
+    global devices replaces DDP."""
+    import jax
+
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes, process_id=process_id,
+        local_device_ids=local_device_ids)
+
+
+def global_batch_from_host_local(mesh: Mesh, tree: Any) -> Any:
+    """Assemble a globally-sharded batch from THIS process's host-local
+    shard (the counterpart of DistributedSampler feeding per-rank slices,
+    reference datasets.py:86 + train.py:613: per-rank batch = total/world).
+
+    Each process passes its `host_local_slice` of the global batch; the
+    result is one jax.Array per leaf, batch-sharded over the 'data' axis,
+    usable exactly like a single-process sharded batch."""
+    s = batch_sharding(mesh)
+    return jax.tree_util.tree_map(
+        lambda x: jax.make_array_from_process_local_data(s, np.asarray(x)),
+        tree)
+
+
+def sync_processes(tag: str = "barrier"):
+    """Cross-process barrier (reference torch_distributed_zero_first /
+    dist.barrier, torch_utils.py:27-36) — no-op in single-process runs."""
+    import jax
+
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+        multihost_utils.sync_global_devices(tag)
+
+
 def param_partition_specs(params, n_model: int, model_axis: str = "model"):
     """Tensor-parallel sharding rules: a PartitionSpec pytree matching params.
 
