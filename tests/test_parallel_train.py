@@ -199,6 +199,94 @@ def test_multi_scale_and_freeze_step():
     assert any(float(jnp.max(jnp.abs(x1 - x2))) > 0 for x1, x2 in zip(a, b))
 
 
+def test_per_replica_bn_matches_dataparallel_split():
+    """--no-sync-bn (bn_shards=g): full-batch training forward == g
+    INDEPENDENT per-shard forwards — the reference's default unsynced
+    multi-GPU BN (DataParallel replicas / DDP without --sync-bn,
+    train.py:240-242) — and != the synced default; running stats follow
+    shard 0 (torch DDP broadcast_buffers rank-0 semantics)."""
+    from yolo_series_tpu.models.model import Model, apply_model
+
+    g, per = 4, 2
+    m = Model.from_yaml("yolo_series_tpu/models/cfg/training/yolov7-tiny.yaml",
+                        key=jax.random.PRNGKey(11))
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.uniform(0, 1, (g * per, 64, 64, 3)).astype(np.float32))
+
+    out_pr, st_pr = apply_model(m.plan, m.params, m.state, x,
+                                training=True, bn_shards=g)
+
+    # g independent replicas, each on its contiguous sub-batch
+    outs, st0 = [], None
+    for i in range(g):
+        o, s = apply_model(m.plan, m.params, m.state,
+                           x[i * per:(i + 1) * per], training=True)
+        outs.append(o["raw"])
+        if i == 0:
+            st0 = s
+    for lvl in range(len(out_pr["raw"])):
+        split = jnp.concatenate([o[lvl] for o in outs], axis=0)
+        # tolerance: grouped vs separate forwards reduce in different
+        # shapes, so fp32 rounding differs at ~1e-4 on O(5) activations
+        np.testing.assert_allclose(np.asarray(out_pr["raw"][lvl]),
+                                   np.asarray(split), rtol=1e-3, atol=1e-4)
+    # running stats == replica 0's
+    for a, b in zip(jax.tree_util.tree_leaves(st_pr),
+                    jax.tree_util.tree_leaves(st0)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-6)
+
+    # and it is NOT the synced behavior
+    out_sync, _ = apply_model(m.plan, m.params, m.state, x, training=True)
+    diff = max(float(jnp.max(jnp.abs(a - b)))
+               for a, b in zip(out_pr["raw"], out_sync["raw"]))
+    assert diff > 1e-3, f"per-replica == synced (diff {diff}); flag vacuous"
+
+
+def test_per_replica_bn_matches_torch_oracle():
+    """layers._batch_norm_per_replica vs torch BatchNorm2d run per shard
+    (eps=1e-3, momentum=0.03 — reference torch_utils.initialize_weights):
+    outputs per shard and shard-0 running stats must match."""
+    torch = pytest.importorskip("torch")
+
+    from yolo_series_tpu.models.layers import Ctx, batch_norm
+
+    g, per, c = 2, 3, 8
+    rng = np.random.default_rng(9)
+    x = rng.normal(0, 2, (g * per, 5, 7, c)).astype(np.float32)
+    scale = rng.uniform(0.5, 1.5, c).astype(np.float32)
+    bias = rng.uniform(-0.5, 0.5, c).astype(np.float32)
+    rmean = rng.normal(0, 0.3, c).astype(np.float32)
+    rvar = rng.uniform(0.5, 1.5, c).astype(np.float32)
+
+    ctx = Ctx(training=True, bn_shards=g)
+    y, new_state = batch_norm(
+        {"scale": jnp.asarray(scale), "bias": jnp.asarray(bias)},
+        {"mean": jnp.asarray(rmean), "var": jnp.asarray(rvar)},
+        jnp.asarray(x), ctx)
+
+    for i in range(g):
+        bn = torch.nn.BatchNorm2d(c, eps=1e-3, momentum=0.03)
+        with torch.no_grad():
+            bn.weight.copy_(torch.from_numpy(scale))
+            bn.bias.copy_(torch.from_numpy(bias))
+            bn.running_mean.copy_(torch.from_numpy(rmean))
+            bn.running_var.copy_(torch.from_numpy(rvar))
+        bn.train()
+        xt = torch.from_numpy(
+            x[i * per:(i + 1) * per].transpose(0, 3, 1, 2))
+        yt = bn(xt).detach().numpy().transpose(0, 2, 3, 1)
+        np.testing.assert_allclose(np.asarray(y[i * per:(i + 1) * per]), yt,
+                                   rtol=1e-4, atol=1e-5)
+        if i == 0:
+            np.testing.assert_allclose(np.asarray(new_state["mean"]),
+                                       bn.running_mean.numpy(),
+                                       rtol=1e-5, atol=1e-6)
+            np.testing.assert_allclose(np.asarray(new_state["var"]),
+                                       bn.running_var.numpy(),
+                                       rtol=1e-5, atol=1e-6)
+
+
 def test_host_local_slice():
     from yolo_series_tpu.parallel.mesh import host_local_slice
 

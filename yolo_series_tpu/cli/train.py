@@ -69,6 +69,11 @@ def make_parser():
                    dest="save_period")
     p.add_argument("--devices", type=int, default=None,
                    help="data-parallel device count (default: all)")
+    p.add_argument("--no-sync-bn", action="store_true",
+                   help="per-replica (unsynced) BatchNorm under a "
+                        "multi-device mesh — the reference's multi-GPU "
+                        "default (its --sync-bn is the opt-in, "
+                        "train.py:240-242); here sync is the default")
     p.add_argument("--project", default="runs/train")
     p.add_argument("--name", default="exp")
     p.add_argument("--exist-ok", action="store_true")
@@ -125,7 +130,8 @@ def main():
             fast_decode=opt.fast_decode, quad=opt.quad, workers=opt.workers,
             warmup_accumulate=not opt.no_warmup_accumulate,
             single_cls=opt.single_cls, nosave=opt.nosave,
-            autoanchor=not opt.noautoanchor, v5_metric=opt.v5_metric)
+            autoanchor=not opt.noautoanchor, v5_metric=opt.v5_metric,
+            sync_bn=not opt.no_sync_bn)
     if opt.evolve:
         from yolo_series_tpu.train.evolve import evolve
         evolve(tc, generations=opt.evolve_gens)

@@ -39,6 +39,12 @@ class Ctx:
     dtype: Any = jnp.float32         # compute dtype for convs (bf16 on TPU)
     observer: Any = None             # eager-only hook: observer(path, x) at
     path: str = ""                   # every conv input (int8 calibration)
+    bn_shards: int = 1               # >1: PER-REPLICA BatchNorm — the batch
+    # splits into this many contiguous groups (one per data shard), each
+    # normalized with its OWN local moments: the reference's default
+    # UNsynced per-GPU BN (--sync-bn is opt-in there, train.py:240-242).
+    # Running stats follow group 0, matching torch DDP's
+    # broadcast_buffers=True rank-0 buffer semantics.
 
 
 # ---------------------------------------------------------------------------
@@ -135,6 +141,8 @@ def bn_init(c):
 def batch_norm(bn_params, bn_state, x, ctx: Ctx):
     """BatchNorm with optional cross-replica moment sync (pmean SyncBN)."""
     scale, bias = bn_params["scale"], bn_params["bias"]
+    if ctx.training and ctx.bn_shards > 1:
+        return _batch_norm_per_replica(bn_params, bn_state, x, ctx)
     if ctx.training:
         xf = x.astype(jnp.float32)
         # shifted one-pass moments: center on the RUNNING mean (a known
@@ -187,6 +195,38 @@ def batch_norm(bn_params, bn_state, x, ctx: Ctx):
     inv = jax.lax.rsqrt(var + BN_EPS) * scale
     y = (x.astype(jnp.float32) - mean) * inv + bias
     return y.astype(x.dtype), new_state
+
+
+def _batch_norm_per_replica(bn_params, bn_state, x, ctx: Ctx):
+    """Per-replica (unsynced) BatchNorm — the reference's DEFAULT multi-GPU
+    behavior (SyncBN is opt-in, train.py:240-242): each data shard
+    normalizes its local sub-batch with its own moments.
+
+    Expressed in the pjit global view as a static group reshape: the batch
+    splits into `ctx.bn_shards` contiguous groups aligned with the 'data'
+    sharding (batch axis 0 sharded over n shards -> group g IS shard g's
+    local sub-batch), so the per-group moments stay shard-local and XLA
+    inserts no collective. Running stats track group 0 (torch DDP
+    broadcast_buffers=True makes every rank adopt rank 0's buffers each
+    forward; torch_utils.py:318-340 reverts SyncBN the same way)."""
+    g = ctx.bn_shards
+    b = x.shape[0]
+    assert b % g == 0, (b, g)
+    scale, bias = bn_params["scale"], bn_params["bias"]
+    xf = x.astype(jnp.float32).reshape(g, b // g, *x.shape[1:])
+    mean = jnp.mean(xf, axis=(1, 2, 3))                      # (g, C)
+    var = jnp.mean(jnp.square(xf - mean[:, None, None, None, :]), axis=(1, 2, 3))
+    n = (b // g) * x.shape[1] * x.shape[2]
+    unbiased = var * (n / max(n - 1, 1))
+    m = BN_MOMENTUM
+    new_state = {
+        "mean": (1 - m) * bn_state["mean"] + m * mean[0],
+        "var": (1 - m) * bn_state["var"] + m * unbiased[0],
+    }
+    inv = jax.lax.rsqrt(var + BN_EPS) * scale               # (g, C)
+    y = (xf - mean[:, None, None, None, :]) * inv[:, None, None, None, :] \
+        + bias
+    return y.reshape(x.shape).astype(x.dtype), new_state
 
 
 def conv2d(x, w, stride=1, padding=0, groups=1, dtype=None):

@@ -43,7 +43,7 @@ def init_model(plan: GraphPlan, key) -> Tuple[Any, Any]:
 def apply_model(plan: GraphPlan, params, state, x, *,
                 training: bool = False, axis_name: Optional[str] = None,
                 dtype=jnp.float32, observer=None,
-                return_head_inputs: bool = False):
+                return_head_inputs: bool = False, bn_shards: int = 1):
     """Run the graph. x: (B, H, W, C) NHWC in [0, 1].
 
     Returns (out, new_state) where out is the head's dict:
@@ -55,7 +55,7 @@ def apply_model(plan: GraphPlan, params, state, x, *,
     used for int8 activation-scale calibration. Do not use under jit.
     """
     ctx = Ctx(training=training, axis_name=axis_name, dtype=dtype,
-              observer=observer)
+              observer=observer, bn_shards=bn_shards)
     lp = params["layers"]
     ls = state["layers"]
     new_state: List[Any] = list(ls)

@@ -8,7 +8,9 @@ single pjit-compiled function:
   * gradient accumulation as an in-graph lax.scan over micro-batches
     (reference accumulates across Python iterations, train.py:384)
   * batch sharded over the mesh 'data' axis — XLA inserts the gradient
-    all-reduce; BN moments are global automatically (SyncBN semantics)
+    all-reduce; BN moments are global automatically (SyncBN semantics);
+    bn_shards > 1 opts OUT into the reference's default per-replica BN
+    (models/layers._batch_norm_per_replica)
   * EMA update fused into the same program (reference train.py:389)
 """
 
@@ -53,7 +55,8 @@ def make_train_step(plan, loss_fn: Callable, opt_cfg: OptimConfig,
                     ema_base: float = 0.9999,
                     freeze: int = 0,
                     resize_to: Optional[int] = None,
-                    loss_scale: float = 1.0):
+                    loss_scale: float = 1.0,
+                    bn_shards: int = 1):
     """Build train_step(ts, images, labels, label_mask, lr_groups, momentum).
 
     images: (accum, B, H, W, 3) when accumulate > 1, else (B, H, W, 3);
@@ -79,8 +82,11 @@ def make_train_step(plan, loss_fn: Callable, opt_cfg: OptimConfig,
                 method="bilinear")
 
         def lf(p):
+            # bn_shards > 1: per-replica (unsynced) BN — the reference's
+            # multi-GPU default (train.py:240-242; layers._batch_norm_per_replica)
             out, new_state = apply_model(plan, p, state, images,
-                                         training=True, dtype=compute_dtype)
+                                         training=True, dtype=compute_dtype,
+                                         bn_shards=bn_shards)
             total, items = loss_fn(out["raw"], labels, mask)
             # loss_scale: the quad-collate gradient compensation
             # (reference `loss *= 4.`, train.py:377-378) — scales the

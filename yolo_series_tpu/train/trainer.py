@@ -93,6 +93,11 @@ class TrainConfig:
     # final evals (train.py:438, 518: assume max recall 1.0)
     nosave: bool = False          # only save the final checkpoint
     # (train.py:464: save gated on `(not nosave) or final_epoch`)
+    sync_bn: bool = True          # False: per-replica (unsynced) BN under a
+    # multi-device mesh — the reference's DEFAULT multi-GPU semantics
+    # (SyncBN is opt-in there, train.py:240-242); here sync is the default
+    # (SURVEY §2.7: per-replica batch on TPU is small) and this is the
+    # apples-to-apples opt-out
 
 
 def _scaled_loss_hyp(hyp: dict, nl: int, nc: int, img_size: int,
@@ -278,7 +283,8 @@ def train(tc: TrainConfig, train_ds: Optional[DetectionDataset] = None,
             step_cache[key] = make_train_step(
                 step_plan, loss_fn, opt_cfg, mesh=mesh, accumulate=accum,
                 compute_dtype=tc.compute_dtype, freeze=tc.freeze,
-                resize_to=size, loss_scale=4.0 if tc.quad else 1.0)
+                resize_to=size, loss_scale=4.0 if tc.quad else 1.0,
+                bn_shards=(n_dev if (not tc.sync_bn and n_dev > 1) else 1))
         return step_cache[key]
 
     loader = create_loader(train_ds, batch_size=tc.batch_size,
