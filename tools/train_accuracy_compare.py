@@ -139,6 +139,8 @@ def run_reference(data_yaml: Path, hyp_yaml: Path, out: Path, epochs: int,
     from ref_oracle import load_reference
     load_reference()  # stubs torchvision, puts /root/reference on sys.path
 
+    import torch
+
     _shim_torch_load()
 
     # CPU shim for the reference's hardcoded empty-level fallback device
