@@ -84,6 +84,20 @@ def make_parser():
     p.add_argument("--evolve", action="store_true",
                    help="hyperparameter evolution (GA)")
     p.add_argument("--evolve-gens", type=int, default=300)
+    # W&B-artifact flag surface (reference train.py:549, 566-569)
+    p.add_argument("--entity", default=None, help="W&B entity")
+    p.add_argument("--upload_dataset", "--upload-dataset",
+                   action="store_true", dest="upload_dataset",
+                   help="snapshot the dataset into the versioned artifact "
+                        "store and train from the snapshot "
+                        "(reference wandb_utils.py:193-218)")
+    p.add_argument("--bbox_interval", "--bbox-interval", type=int,
+                   default=-1, dest="bbox_interval",
+                   help="epochs between val bbox media panels "
+                        "(reference wandb_utils.py:263-300)")
+    p.add_argument("--artifact_alias", "--artifact-alias",
+                   default="latest", dest="artifact_alias",
+                   help="dataset-artifact alias for artifact:// --data refs")
     return p
 
 
@@ -131,7 +145,10 @@ def main():
             warmup_accumulate=not opt.no_warmup_accumulate,
             single_cls=opt.single_cls, nosave=opt.nosave,
             autoanchor=not opt.noautoanchor, v5_metric=opt.v5_metric,
-            sync_bn=not opt.no_sync_bn)
+            sync_bn=not opt.no_sync_bn, entity=opt.entity,
+            upload_dataset=opt.upload_dataset,
+            bbox_interval=opt.bbox_interval,
+            artifact_alias=opt.artifact_alias)
     if opt.evolve:
         from yolo_series_tpu.train.evolve import evolve
         evolve(tc, generations=opt.evolve_gens)

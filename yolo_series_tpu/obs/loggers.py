@@ -27,7 +27,8 @@ class ExperimentLogger:
 
     def __init__(self, save_dir, use_tb: bool = True, use_wandb: bool = False,
                  wandb_project: str = "yolo-series-tpu", run_name: Optional[str] = None,
-                 config: Optional[dict] = None, resume_id: Optional[str] = None):
+                 config: Optional[dict] = None, resume_id: Optional[str] = None,
+                 entity: Optional[str] = None):
         self.save_dir = Path(save_dir)
         self.save_dir.mkdir(parents=True, exist_ok=True)
         self.results_file = self.save_dir / "results.jsonl"
@@ -45,7 +46,7 @@ class ExperimentLogger:
                 import wandb
                 self.wandb_run = wandb.init(
                     project=wandb_project, name=run_name, config=config,
-                    id=resume_id, resume="allow")
+                    id=resume_id, resume="allow", entity=entity)
             except Exception as e:  # noqa: BLE001
                 logging.info(f"wandb disabled: {e}")
 

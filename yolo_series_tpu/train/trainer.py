@@ -28,6 +28,7 @@ from yolo_series_tpu.models.heads import IAuxDetect, IBin
 from yolo_series_tpu.models.model import init_model
 from yolo_series_tpu.eval.evaluator import evaluate
 from yolo_series_tpu.eval.metrics import fitness
+from yolo_series_tpu.obs.artifacts import ARTIFACT_PREFIX
 from yolo_series_tpu.parallel.mesh import make_mesh, replicated
 from yolo_series_tpu.train.checkpoints import (
     load_checkpoint, restore_train_state, save_checkpoint, strip_checkpoint,
@@ -98,6 +99,15 @@ class TrainConfig:
     # (SyncBN is opt-in there, train.py:240-242); here sync is the default
     # (SURVEY §2.7: per-replica batch on TPU is small) and this is the
     # apples-to-apples opt-out
+    entity: Optional[str] = None  # W&B entity (reference train.py --entity)
+    upload_dataset: bool = False  # snapshot the dataset into the versioned
+    # artifact store and train FROM the snapshot (reference
+    # --upload_dataset; wandb_utils.py:193-218 rewrites the data yaml to
+    # artifact paths and trains on those)
+    bbox_interval: int = -1       # epochs between val bbox media panels
+    # (reference --bbox_interval; wandb_utils.py:263-300). -1 = off
+    artifact_alias: str = "latest"  # dataset-artifact alias used when
+    # `data` is an artifact:// ref (reference --artifact_alias)
 
 
 def _scaled_loss_hyp(hyp: dict, nl: int, nc: int, img_size: int,
@@ -135,11 +145,32 @@ def train(tc: TrainConfig, train_ds: Optional[DetectionDataset] = None,
         yaml.dump({k: v for k, v in dataclasses.asdict(tc).items()
                    if isinstance(v, (int, float, str, bool, type(None)))}, f)
     from yolo_series_tpu.obs.loggers import ExperimentLogger
-    logger = ExperimentLogger(save_dir)
+    logger = ExperimentLogger(save_dir, entity=tc.entity)
+
+    # dataset artifacts (reference wandb_utils.py:159-218): --upload_dataset
+    # snapshots the dataset into the PROJECT-level versioned store and the
+    # run trains from the snapshot's rewritten data.yaml; an artifact://
+    # data ref resolves an existing snapshot at --artifact_alias
+    data_path = tc.data
+    if data_path and (tc.upload_dataset
+                      or str(data_path).startswith(ARTIFACT_PREFIX)):
+        from yolo_series_tpu.obs.artifacts import (
+            ArtifactStore, download_dataset_artifact, log_dataset_artifact)
+        store = ArtifactStore(Path(tc.save_dir).parent / "artifacts")
+        if not str(data_path).startswith(ARTIFACT_PREFIX):
+            vdir = log_dataset_artifact(store, data_path)
+            data_path = str(vdir / "data.yaml")
+            print(f"dataset artifact: {vdir} (training from the snapshot)")
+        else:
+            ref = str(data_path)
+            if ":" not in ref[len(ARTIFACT_PREFIX):]:
+                ref = f"{ref}:{tc.artifact_alias}"
+            data_path = str(download_dataset_artifact(store, ref))
+            print(f"dataset artifact resolved: {ref} -> {data_path}")
 
     data_cfg: dict = {}
-    if tc.data:
-        with open(tc.data) as f:
+    if data_path:
+        with open(data_path) as f:
             data_cfg = yaml.safe_load(f)
     nc = 1 if tc.single_cls else int(data_cfg.get("nc", 80))
     names = data_cfg.get("names", [str(i) for i in range(nc)])
@@ -439,8 +470,17 @@ def train(tc: TrainConfig, train_ds: Optional[DetectionDataset] = None,
         fi = 0.0
         if val_loader is not None and not tc.noval and \
                 (epoch % tc.eval_every == 0 or epoch == tc.epochs - 1):
+            # --bbox_interval: val bbox media panels every N epochs
+            # (reference wandb_utils.log_training_progress, :263-300)
+            media = (tc.bbox_interval > 0
+                     and (epoch % tc.bbox_interval == 0
+                          or epoch == tc.epochs - 1))
             res = evaluate(plan, ts.ema_params, ts.ema_state, val_loader(),
-                           names=names, v5_metric=tc.v5_metric)
+                           names=names, v5_metric=tc.v5_metric,
+                           plots_dir=str(save_dir) if media else None)
+            if media:
+                for f in sorted(save_dir.glob("test_batch*_pred.jpg")):
+                    logger.log_image(f"val/{f.stem}", f, step=epoch)
             row.update({f"val/{k}": res[k] for k in
                         ("mp", "mr", "map50", "map")})
             fi = res["fitness"]
