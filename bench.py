@@ -102,6 +102,17 @@ def main():
     per_batch = chip_rate(end2end, x, iters=ITERS)
     fps = BATCH / per_batch
 
+    # chip-level bs1 latency (VERDICT r3 item 6): the same device-loop
+    # slope at batch 1 — sequential chained executions, so the slope IS
+    # the per-inference engine latency with the relay excluded (what a
+    # host-attached deployment's bs1 path sees; the reference publishes
+    # 27.08 ms client p50 under load, deploy README.md:115)
+    x1 = jax.device_put(
+        jnp.asarray(rng.integers(0, 255, (1, IMG, IMG, 3), np.uint8)), tpu)
+    o1 = end2end(x1)
+    _ = np.asarray(o1[0])
+    bs1_chip_ms = chip_rate(end2end, x1, iters=100) * 1000.0
+
     # host-side dispatch loop (what the dev tunnel sustains end-to-end)
     best = float("inf")
     for _ in range(3):
@@ -157,6 +168,7 @@ def main():
         "unit": "img/s",
         "vs_baseline": round(fps / BASELINE_FPS, 3),
         "p50_ms_bs1": round(p50_1, 2),
+        "p50_ms_bs1_chip": round(bs1_chip_ms, 2),
         "p50_ms_bs8": round(p50_8, 2),
         "dispatch_fps": round(dispatch_fps, 1),
         "relay_rtt_ms": round(relay_rtt, 2),

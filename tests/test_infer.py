@@ -52,6 +52,41 @@ def test_dynamic_batcher(tiny_fused):
     batcher.close()
 
 
+def test_dynamic_batcher_low_latency_bs1(tiny_fused):
+    """Low-latency path (VERDICT r3 item 6): with a compiled bs1 engine,
+    a request that finds the queue empty dispatches IMMEDIATELY instead
+    of waiting max_delay_ms for co-batching; results must equal the
+    direct bs1 engine call."""
+    import time
+
+    from yolo_series_tpu.infer.serving import DynamicBatcher, ServingEngine
+
+    plan, params, state = tiny_fused
+    eng = ServingEngine(plan, params, state, batch_size=4, img_size=128,
+                        max_det=20, dtype=jnp.float32)
+    eng1 = ServingEngine(plan, params, state, batch_size=1, img_size=128,
+                         max_det=20, dtype=jnp.float32)
+    eng1.warmup(1)
+    # max_delay deliberately huge: without the bs1 fast path each lone
+    # request would sit the full 2 s in the co-batching wait
+    batcher = DynamicBatcher(eng, max_delay_ms=2000, bs1_engine=eng1)
+    rng = np.random.default_rng(3)
+    frames = [rng.integers(0, 255, (128, 128, 3), dtype=np.uint8)
+              for _ in range(3)]
+    t0 = time.perf_counter()
+    for f in frames:
+        s = batcher.submit(f)
+        res = DynamicBatcher.wait(s, timeout=60)
+        want = eng1.infer(f[None])
+        assert int(res["num_dets"][0]) == int(want["num_dets"][0, 0])
+        np.testing.assert_allclose(res["det_boxes"], want["det_boxes"][0],
+                                   atol=1e-3)
+    elapsed = time.perf_counter() - t0
+    batcher.close()
+    assert elapsed < 4.0, \
+        f"{elapsed:.1f}s for 3 lone requests — bs1 fast path not engaged"
+
+
 def test_dynamic_batcher_concurrent_mapping(tiny_fused):
     """16 client threads through the pipelined batcher: every client must
     get the detections for ITS frame (the Triton-protocol invariant the

@@ -199,6 +199,33 @@ def test_multi_scale_and_freeze_step():
     assert any(float(jnp.max(jnp.abs(x1 - x2))) > 0 for x1, x2 in zip(a, b))
 
 
+def test_remat_prefix_is_exact():
+    """Stem remat (apply_model remat_prefix, the MFU bandwidth-for-FLOPs
+    lever): jax.checkpoint recomputes the SAME ops, so the one-step
+    params must be bitwise-identical with and without it."""
+    img = 64
+    m = Model.from_yaml("yolo_series_tpu/models/cfg/training/yolov7-tiny.yaml",
+                        key=jax.random.PRNGKey(7))
+    loss_fn = make_compute_loss(m.plan.head, LossHyp())
+    cfg = OptimConfig()
+    rng = np.random.default_rng(0)
+    x, labels, mask = _tiny_batch(rng, 2, img)
+    lr_groups, mom = warmup_factors(jnp.float32(500), 100, jnp.float32(1.0),
+                                    300, cfg.lr0, 0.1, 0.1, 0.8, cfg.momentum)
+    outs = {}
+    for rp in (0, 4):
+        ts = init_train_state(m.params, m.state, cfg)
+        fn = make_train_step(m.plan, loss_fn, cfg, compute_dtype=jnp.float32,
+                             remat_prefix=rp)
+        ts2, met = fn(ts, jnp.asarray(x), jnp.asarray(labels),
+                      jnp.asarray(mask), lr_groups, mom)
+        outs[rp] = (float(met["total"]), ts2.params)
+    assert outs[0][0] == outs[4][0]
+    for a, b in zip(jax.tree_util.tree_leaves(outs[0][1]),
+                    jax.tree_util.tree_leaves(outs[4][1])):
+        assert float(jnp.max(jnp.abs(a - b))) == 0.0
+
+
 def test_per_replica_bn_matches_dataparallel_split():
     """--no-sync-bn (bn_shards=g): full-batch training forward == g
     INDEPENDENT per-shard forwards — the reference's default unsynced

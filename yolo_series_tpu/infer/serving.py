@@ -169,8 +169,19 @@ class DynamicBatcher:
     it. `inflight` bounds queued executions (backpressure)."""
 
     def __init__(self, engine: ServingEngine, max_delay_ms: float = 5.0,
-                 inflight: int = 3, stage_fn=None, completers: int = 2):
+                 inflight: int = 3, stage_fn=None, completers: int = 2,
+                 bs1_engine: Optional[ServingEngine] = None):
+        """bs1_engine: optional compiled batch-1 engine for the LOW-LATENCY
+        path — when a request arrives and the queue is otherwise empty, it
+        dispatches immediately on this engine instead of waiting
+        max_delay_ms for co-batching (Triton's preferred-batch-size
+        behavior at low load; reference deploy README.md:115 publishes the
+        16-client bs1 latency this path optimizes). At load the queue is
+        non-empty and full-batch batching engages as before."""
         self.engine = engine
+        self.bs1_engine = bs1_engine
+        if bs1_engine is not None:
+            assert bs1_engine.batch_size == 1
         self.max_delay = max_delay_ms / 1e3
         # stage_fn(frames) -> batch array; default host np.stack. Benchmarks
         # use it to substitute pre-staged device batches (tools/bench_serving
@@ -209,22 +220,28 @@ class DynamicBatcher:
             except queue_mod.Empty:
                 continue
             batch = [first]
-            deadline = time.perf_counter() + self.max_delay
-            while len(batch) < bs and time.perf_counter() < deadline:
-                try:
-                    batch.append(self.q.get(timeout=max(
-                        0.0, deadline - time.perf_counter())))
-                except queue_mod.Empty:
-                    break
+            eng = self.engine
+            if self.bs1_engine is not None and self.q.empty():
+                # low-latency path: nothing else queued — dispatch NOW on
+                # the bs1 program, skip the co-batching wait entirely
+                eng = self.bs1_engine
+            else:
+                deadline = time.perf_counter() + self.max_delay
+                while len(batch) < bs and time.perf_counter() < deadline:
+                    try:
+                        batch.append(self.q.get(timeout=max(
+                            0.0, deadline - time.perf_counter())))
+                    except queue_mod.Empty:
+                        break
             frames = [b["image"] for b in batch]
             images = (self.stage_fn(frames) if self.stage_fn is not None
                       else np.stack(frames))
-            out, _n = self.engine.infer_async(images)
+            out, _n = eng.infer_async(images)
             # blocks at `inflight` pending — but never past close(): a
             # plain put() could wedge forever once the completers exit
             while not self._stop:
                 try:
-                    self._done.put((batch, out), timeout=0.1)
+                    self._done.put((batch, out, eng), timeout=0.1)
                     batch = None
                     break
                 except queue_mod.Full:
@@ -236,13 +253,13 @@ class DynamicBatcher:
     def _complete(self):
         while True:
             try:
-                batch, out = self._done.get(timeout=0.1)
+                batch, out, eng = self._done.get(timeout=0.1)
             except queue_mod.Empty:
                 if self._stop:
                     return  # drain everything dispatched before exiting
                 continue
-            if getattr(self.engine, "pack_output", False):
-                host = self.engine.unpack(np.asarray(out))
+            if getattr(eng, "pack_output", False):
+                host = eng.unpack(np.asarray(out))
             else:
                 host = {k: np.asarray(v) for k, v in out.items()}
             for i, b in enumerate(batch):
@@ -265,7 +282,7 @@ class DynamicBatcher:
             slot["event"].set()
         while True:  # dispatched but stranded between queues
             try:
-                batch, _ = self._done.get_nowait()
+                batch, _, _ = self._done.get_nowait()
             except queue_mod.Empty:
                 break
             for b in batch:

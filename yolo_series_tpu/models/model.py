@@ -40,10 +40,27 @@ def init_model(plan: GraphPlan, key) -> Tuple[Any, Any]:
     return {"layers": params}, {"layers": state}
 
 
+def _run_layer(ctx, spec, p, s, inp, observer, idx):
+    """One interpreter-loop body step (non-head): returns (y, new_state)."""
+    if spec.n_seq > 1:
+        outs = []
+        cur = inp
+        for r in range(spec.n_seq):
+            c = (dataclasses.replace(ctx, path=f"l{idx}.{r}")
+                 if observer is not None else ctx)
+            cur, s_r = spec.block.apply(p[r], s[r], cur, c)
+            outs.append(s_r)
+        return cur, outs
+    c = (dataclasses.replace(ctx, path=f"l{idx}")
+         if observer is not None else ctx)
+    return spec.block.apply(p, s, inp, c)
+
+
 def apply_model(plan: GraphPlan, params, state, x, *,
                 training: bool = False, axis_name: Optional[str] = None,
                 dtype=jnp.float32, observer=None,
-                return_head_inputs: bool = False, bn_shards: int = 1):
+                return_head_inputs: bool = False, bn_shards: int = 1,
+                remat_prefix: int = 0):
     """Run the graph. x: (B, H, W, C) NHWC in [0, 1].
 
     Returns (out, new_state) where out is the head's dict:
@@ -62,7 +79,46 @@ def apply_model(plan: GraphPlan, params, state, x, *,
     saved: Dict[int, jnp.ndarray] = {}
     y = x.astype(dtype)
 
-    for idx, spec in enumerate(plan.layers):
+    start = 0
+    if remat_prefix > 0:
+        # rematerialized stem (MFU lever, VERDICT r3 item 3): the first
+        # `remat_prefix` layers run under jax.checkpoint, so the backward
+        # pass RECOMPUTES their hi-res activations (640px x 32/64ch, the
+        # HBM-bound dW/dX floor in the step profile) from the tiny input
+        # image instead of re-reading them from HBM — FLOPs for bandwidth.
+        assert observer is None, "remat_prefix is jit-only (no observer)"
+        k = min(remat_prefix, len(plan.layers) - 1)
+        save_out = sorted(i for i in plan.save if i < k)
+
+        def prefix_fn(lp_k, ls_k, xin):
+            yv = xin
+            sv = {}
+            ns = []
+            for idx in range(k):
+                spec = plan.layers[idx]
+                if isinstance(spec.frm, tuple):
+                    inp = [yv if j == -1 else sv[j] for j in spec.frm]
+                else:
+                    inp = yv if spec.frm == -1 else sv[spec.frm]
+                yv, s_new = _run_layer(ctx, spec, lp_k[idx], ls_k[idx], inp,
+                                       None, idx)
+                ns.append(s_new)
+                if idx in plan.save:
+                    sv[idx] = yv
+            # saved entries consumed PAST the prefix become checkpoint
+            # outputs (kept, not recomputed)
+            return yv, [sv[i] for i in save_out], ns
+
+        y, saved_list, ns_prefix = jax.checkpoint(prefix_fn)(
+            [lp[i] for i in range(k)], [ls[i] for i in range(k)], y)
+        for i, idx in enumerate(save_out):
+            saved[idx] = saved_list[i]
+        for idx in range(k):
+            new_state[idx] = ns_prefix[idx]
+        start = k
+
+    for idx in range(start, len(plan.layers)):
+        spec = plan.layers[idx]
         if isinstance(spec.frm, tuple):
             inp = [y if j == -1 else saved[j] for j in spec.frm]
         else:
@@ -77,20 +133,8 @@ def apply_model(plan: GraphPlan, params, state, x, *,
             out, new_state[idx] = spec.block.apply(lp[idx], ls[idx], inp, ctx)
             return out, {"layers": new_state}
 
-        if spec.n_seq > 1:
-            ps, ss = lp[idx], ls[idx]
-            outs = []
-            cur = inp
-            for r in range(spec.n_seq):
-                c = (dataclasses.replace(ctx, path=f"l{idx}.{r}")
-                     if observer is not None else ctx)
-                cur, s_r = spec.block.apply(ps[r], ss[r], cur, c)
-                outs.append(s_r)
-            y, new_state[idx] = cur, outs
-        else:
-            c = (dataclasses.replace(ctx, path=f"l{idx}")
-                 if observer is not None else ctx)
-            y, new_state[idx] = spec.block.apply(lp[idx], ls[idx], inp, c)
+        y, new_state[idx] = _run_layer(ctx, spec, lp[idx], ls[idx], inp,
+                                       observer, idx)
 
         if idx in plan.save:
             saved[idx] = y

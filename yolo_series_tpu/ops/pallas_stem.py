@@ -382,13 +382,14 @@ def _default_on() -> bool:
     return os.environ.get("YOLO_TPU_PALLAS_STEM", "0") == "1" or _interpret()
 
 
-def make_pallas_stem(plan: GraphPlan, params, state):
+def make_pallas_stem(plan: GraphPlan, params, state, force: bool = False):
     """Rewrite the P5 stem (4 fused convs) into [k4/s2 phase conv,
     FusedStem, passthrough x2]. Apply after fuse_model, INSTEAD of
     make_fast_stem (it subsumes the fold). Returns inputs unchanged when
     the stem doesn't match (P6 ReOrg stems, exotic cfgs) or the
-    transform is not enabled (YOLO_TPU_PALLAS_STEM)."""
-    if not _default_on() or not _stem_matches(plan, params):
+    transform is not enabled (YOLO_TPU_PALLAS_STEM; `force` overrides —
+    tools/bench_kernels.py uses it for the compiler-drift A/B gate)."""
+    if not (force or _default_on()) or not _stem_matches(plan, params):
         return plan, params, state
     layers = list(plan.layers)
     lp = list(params["layers"])

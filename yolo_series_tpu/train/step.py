@@ -56,7 +56,8 @@ def make_train_step(plan, loss_fn: Callable, opt_cfg: OptimConfig,
                     freeze: int = 0,
                     resize_to: Optional[int] = None,
                     loss_scale: float = 1.0,
-                    bn_shards: int = 1):
+                    bn_shards: int = 1,
+                    remat_prefix: int = 0):
     """Build train_step(ts, images, labels, label_mask, lr_groups, momentum).
 
     images: (accum, B, H, W, 3) when accumulate > 1, else (B, H, W, 3);
@@ -86,7 +87,8 @@ def make_train_step(plan, loss_fn: Callable, opt_cfg: OptimConfig,
             # multi-GPU default (train.py:240-242; layers._batch_norm_per_replica)
             out, new_state = apply_model(plan, p, state, images,
                                          training=True, dtype=compute_dtype,
-                                         bn_shards=bn_shards)
+                                         bn_shards=bn_shards,
+                                         remat_prefix=remat_prefix)
             total, items = loss_fn(out["raw"], labels, mask)
             # loss_scale: the quad-collate gradient compensation
             # (reference `loss *= 4.`, train.py:377-378) — scales the
