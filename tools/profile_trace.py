@@ -94,7 +94,7 @@ def summarize(ops, steps):
     return total
 
 
-def build_serve(batch, size):
+def build_serve(batch, size, cfg=None):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -107,7 +107,7 @@ def build_serve(batch, size):
 
     cpu = jax.local_devices(backend="cpu")[0]
     with jax.default_device(cpu):
-        m = Model.from_yaml("yolo_series_tpu/models/cfg/deploy/yolov7.yaml")
+        m = Model.from_yaml(cfg or "yolo_series_tpu/models/cfg/deploy/yolov7.yaml")
         params, state = fuse_model(m.plan, m.params, m.state)
         plan, params, state = make_pallas_stem(m.plan, params, state)
         plan, params, state = make_fast_stem(plan, params, state,
@@ -140,7 +140,7 @@ def build_serve(batch, size):
     return run
 
 
-def build_train(batch, size):
+def build_train(batch, size, cfg=None):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -154,10 +154,16 @@ def build_train(batch, size):
     cpu = jax.local_devices(backend="cpu")[0]
     with jax.default_device(cpu):
         m = Model.from_yaml(
-            "yolo_series_tpu/models/cfg/training/yolov7.yaml")
+            cfg or "yolo_series_tpu/models/cfg/training/yolov7.yaml")
         plan = m.plan
         step_plan = make_train_fast_stem(plan)
-        loss_fn = make_compute_loss_ota(plan.head, LossHyp())
+        from yolo_series_tpu.models.heads import IAuxDetect
+        if isinstance(plan.head, IAuxDetect):
+            # P6 training cfgs (w6/e6/d6/e6e) train with the aux OTA loss
+            from yolo_series_tpu.losses.aux_ota import make_compute_loss_aux_ota
+            loss_fn = make_compute_loss_aux_ota(plan.head, LossHyp())
+        else:
+            loss_fn = make_compute_loss_ota(plan.head, LossHyp())
         ts = init_train_state(m.params, m.state, OptimConfig())
     step = make_train_step(step_plan, loss_fn, OptimConfig())
     tpu = jax.devices()[0]
@@ -193,12 +199,13 @@ def main():
     ap.add_argument("--size", type=int, default=640)
     ap.add_argument("--steps", type=int, default=3)
     ap.add_argument("--trace-dir", default="/tmp/jaxtrace_tool")
+    ap.add_argument("--cfg", default=None, help="model yaml (default yolov7)")
     args = ap.parse_args()
 
     import jax
     batch = args.batch or (32 if args.mode == "serve" else 16)
     run = (build_serve if args.mode == "serve" else build_train)(
-        batch, args.size)
+        batch, args.size, cfg=args.cfg)
     run()  # compile + warmup
     run()
     jax.profiler.start_trace(args.trace_dir)
