@@ -34,7 +34,17 @@ def build_engine(opt):
                            img_size=opt.img_size, conf_thres=opt.conf_thres,
                            iou_thres=opt.iou_thres, max_det=opt.max_det)
     engine.warmup()
-    return plan, engine, DynamicBatcher(engine, max_delay_ms=opt.max_delay_ms)
+    eng1 = None
+    if opt.low_latency:
+        # compiled bs1 program: lone requests dispatch immediately instead
+        # of waiting --max-delay-ms for co-batching (Triton
+        # preferred-batch-size behavior at low load)
+        eng1 = ServingEngine(plan, params, state, batch_size=1,
+                             img_size=opt.img_size, conf_thres=opt.conf_thres,
+                             iou_thres=opt.iou_thres, max_det=opt.max_det)
+        eng1.warmup(1)
+    return plan, engine, DynamicBatcher(engine, max_delay_ms=opt.max_delay_ms,
+                                        bs1_engine=eng1)
 
 
 def main():
@@ -48,6 +58,9 @@ def main():
     ap.add_argument("--iou-thres", type=float, default=0.45)
     ap.add_argument("--max-det", type=int, default=100)
     ap.add_argument("--max-delay-ms", type=float, default=5.0)
+    ap.add_argument("--low-latency", action="store_true",
+                    help="also compile a bs1 program; queue-empty requests "
+                         "skip the co-batching wait")
     ap.add_argument("--int8", action="store_true")
     ap.add_argument("--dummy", action="store_true",
                     help="send one ones-buffer through the engine and exit "
