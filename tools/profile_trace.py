@@ -26,8 +26,10 @@ import json
 import os
 import re
 import sys
+from pathlib import Path
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
 def _collect(trace_dir):
