@@ -60,6 +60,9 @@ def build_variants():
                     *make_pallas_elan(*fs, force=True)))
         out.append(("pallas_stem",
                     *make_pallas_stem(m.plan, *base, force=True)))
+        from yolo_series_tpu.models.fastconcat import make_split_concat
+        out.append(("fast_stem+split_concat",
+                    make_split_concat(fs[0]), fs[1], fs[2]))
     return out
 
 

@@ -96,13 +96,14 @@ def summarize(ops, steps):
     return total
 
 
-def build_serve(batch, size, cfg=None):
+def build_serve(batch, size, cfg=None, split_concat=False):
     import jax
     import jax.numpy as jnp
     import numpy as np
     from yolo_series_tpu.models.model import Model, apply_model
     from yolo_series_tpu.models.reparam import fuse_model
     from yolo_series_tpu.models.faststem import make_fast_stem
+    from yolo_series_tpu.models.fastconcat import make_split_concat
     from yolo_series_tpu.ops.pallas_elan import make_pallas_elan
     from yolo_series_tpu.ops.pallas_stem import make_pallas_stem
     from yolo_series_tpu.ops.nms import fused_head_nms
@@ -115,6 +116,8 @@ def build_serve(batch, size, cfg=None):
         plan, params, state = make_fast_stem(plan, params, state,
                                              max_pairs=2)
         plan, params, state = make_pallas_elan(plan, params, state)
+        if split_concat:
+            plan = make_split_concat(plan)
     tpu = jax.devices()[0]
     params = jax.device_put(params, tpu)
     state = jax.device_put(state, tpu)
@@ -139,15 +142,17 @@ def build_serve(batch, size, cfg=None):
         out = end2end(x)
         return np.asarray(out[0])
 
+    run.raw = (end2end, x)
     return run
 
 
-def build_train(batch, size, cfg=None):
+def build_train(batch, size, cfg=None, split_concat=False):
     import jax
     import jax.numpy as jnp
     import numpy as np
     from yolo_series_tpu.models.model import Model
     from yolo_series_tpu.models.faststem import make_train_fast_stem
+    from yolo_series_tpu.models.fastconcat import make_split_concat
     from yolo_series_tpu.losses.ota import make_compute_loss_ota
     from yolo_series_tpu.losses.yolo_loss import LossHyp
     from yolo_series_tpu.train.optim import OptimConfig
@@ -159,6 +164,8 @@ def build_train(batch, size, cfg=None):
             cfg or "yolo_series_tpu/models/cfg/training/yolov7.yaml")
         plan = m.plan
         step_plan = make_train_fast_stem(plan)
+        if split_concat:
+            step_plan = make_split_concat(step_plan)
         from yolo_series_tpu.models.heads import IAuxDetect
         if isinstance(plan.head, IAuxDetect):
             # P6 training cfgs (w6/e6/d6/e6e) train with the aux OTA loss
@@ -202,12 +209,14 @@ def main():
     ap.add_argument("--steps", type=int, default=3)
     ap.add_argument("--trace-dir", default="/tmp/jaxtrace_tool")
     ap.add_argument("--cfg", default=None, help="model yaml (default yolov7)")
+    ap.add_argument("--split-concat", action="store_true",
+                    help="apply models/fastconcat.make_split_concat")
     args = ap.parse_args()
 
     import jax
     batch = args.batch or (32 if args.mode == "serve" else 16)
     run = (build_serve if args.mode == "serve" else build_train)(
-        batch, args.size, cfg=args.cfg)
+        batch, args.size, cfg=args.cfg, split_concat=args.split_concat)
     run()  # compile + warmup
     run()
     jax.profiler.start_trace(args.trace_dir)

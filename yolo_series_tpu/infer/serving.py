@@ -37,7 +37,7 @@ class ServingEngine:
     def __init__(self, plan, params, state, *, batch_size=8, img_size=640,
                  conf_thres=0.25, iou_thres=0.45, max_det=100,
                  dtype=jnp.bfloat16, max_nms=1024, fast_stem=True,
-                 pallas_elan=True,
+                 pallas_elan=True, split_concat=False,
                  ingest_hw: Optional[tuple] = None, pack_output=False):
         """ingest_hw=(h, w): accept RAW camera-shaped uint8 frames and
         letterbox ON DEVICE (data/device_aug.make_device_letterbox) —
@@ -56,6 +56,14 @@ class ServingEngine:
             # back to an identical-semantics XLA chain off-TPU
             from yolo_series_tpu.ops.pallas_elan import make_pallas_elan
             plan, params, state = make_pallas_elan(plan, params, state)
+        if split_concat:
+            # ELAN concat elimination: conv1x1(concat) -> per-tap sliced
+            # matmuls (models/fastconcat.py; exact identity, plan-only).
+            # Default OFF: measured NEGATIVE on yolov7@640 bs32 (900.3 ->
+            # 798.3 img/s, tools/exp_split_concat.py) — XLA already folds
+            # the aligned P5 concats; opt-in for P6/unaligned experiments.
+            from yolo_series_tpu.models.fastconcat import make_split_concat
+            plan = make_split_concat(plan)
         self.plan = plan
         self.batch_size = batch_size
         self.img_size = img_size

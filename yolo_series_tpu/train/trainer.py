@@ -85,6 +85,11 @@ class TrainConfig:
     # train.py --workers 8; cv2/numpy release the GIL)
     fast_stem: bool = True        # phase-folded stem in the train step
     # (SGD-equivalent weight reshuffle, models/faststem.make_train_fast_stem)
+    split_concat: bool = False    # ELAN concat elimination in the train
+    # step: conv1x1(concat) -> per-tap sliced matmuls (models/fastconcat.py;
+    # exact identity, plan-only — checkpoints/eval keep the original plan).
+    # Default OFF: serving A/B measured it NEGATIVE at P5/640 (900.3 ->
+    # 798.3 img/s, tools/exp_split_concat.py); opt-in pending P6 evidence.
     quad: bool = False            # quad collate: 4 samples -> one 2x image
     # (reference collate_fn4 + loss*4 compensation, datasets.py:931/train.py:377)
     warmup_accumulate: bool = True  # ramp accumulate 1 -> nbs/bs during
@@ -296,6 +301,9 @@ def train(tc: TrainConfig, train_ds: Optional[DetectionDataset] = None,
     if tc.fast_stem:
         from yolo_series_tpu.models.faststem import make_train_fast_stem
         step_plan = make_train_fast_stem(plan)
+    if tc.split_concat:
+        from yolo_series_tpu.models.fastconcat import make_split_concat
+        step_plan = make_split_concat(step_plan)
 
     gs = int(max(head.strides))
     if tc.multi_scale:
