@@ -54,14 +54,16 @@ def bench_one(name: str, batch: int, iters: int) -> dict:
     params = jax.device_put(params, tpu)
     state = jax.device_put(state, tpu)
     head = plan.head
-    hp = params["layers"][len(plan.layers) - 1]
+    hp_idx = len(plan.layers) - 1
 
-    @jax.jit
-    def end2end(x):
+    # params/state as jit ARGUMENTS (closure constants inline the weight
+    # tree into the HLO; w6's 280 MB module trips the relay's 413 limit)
+    def end2end(x, params, state):
         xf = x.astype(jnp.bfloat16) / jnp.bfloat16(255.0)
         feats, _ = apply_model(plan, params, state, xf, training=False,
                                dtype=jnp.bfloat16, return_head_inputs=True)
-        return fused_head_nms(head, hp, feats, conf_thres=0.25,
+        return fused_head_nms(head, params["layers"][hp_idx], feats,
+                              conf_thres=0.25,
                               iou_thres=0.45, max_det=300, max_nms=256,
                               compute_dtype=jnp.bfloat16)
 
@@ -71,9 +73,9 @@ def bench_one(name: str, batch: int, iters: int) -> dict:
     x = jax.device_put(
         jnp.asarray(rng.integers(0, 255, (batch, size, size, 3), np.uint8)),
         tpu)
-    out = end2end(x)
+    out = jax.jit(end2end)(x, params, state)
     _ = np.asarray(out[0])
-    best = chip_rate(end2end, x, iters=iters)
+    best = chip_rate(end2end, x, iters=iters, consts=(params, state))
     return {"model": name, "img_size": size, "batch": batch,
             "ms_per_batch": round(best * 1000.0, 2),
             "img_per_s": round(batch / best, 1)}

@@ -52,8 +52,8 @@ def measure_serve(cfg, batch, size, iters, split):
     from yolo_series_tpu.utils.chiprate import chip_rate
 
     run = build_serve(batch, size, cfg=cfg, split_concat=split)
-    end2end, x = run.raw
-    return chip_rate(end2end, x, iters=iters)
+    end2end, x, consts = run.raw
+    return chip_rate(end2end, x, iters=iters, consts=consts)
 
 
 def main():
@@ -63,15 +63,21 @@ def main():
     ap.add_argument("--batch", type=int, default=None)
     ap.add_argument("--size", type=int, default=640)
     ap.add_argument("--iters", type=int, default=None)
+    ap.add_argument("--variant", choices=["both", "base", "split"],
+                    default="both",
+                    help="run one variant only (large configs OOM the chip "
+                         "if base+split train states coexist in one process)")
     args = ap.parse_args()
 
     batch = args.batch or (32 if args.mode == "serve" else 16)
     iters = args.iters or (20 if args.mode == "serve" else 6)
     fn = measure_train if args.mode == "train" else measure_serve
 
+    variants = {"both": (False, True), "base": (False,),
+                "split": (True,)}[args.variant]
     out = {"mode": args.mode, "cfg": args.cfg, "batch": batch,
            "size": args.size}
-    for split in (False, True):
+    for split in variants:
         t0 = time.time()
         s = fn(args.cfg, batch, args.size, iters, split)
         key = "split" if split else "base"
@@ -79,7 +85,8 @@ def main():
         out[f"{key}_img_s"] = round(batch / s, 1)
         print(f"[{key}] {s * 1000:.2f} ms/batch = {batch / s:.1f} img/s "
               f"(wall {time.time() - t0:.0f}s incl compile)", flush=True)
-    out["speedup"] = round(out["base_ms"] / out["split_ms"], 4)
+    if "base_ms" in out and "split_ms" in out:
+        out["speedup"] = round(out["base_ms"] / out["split_ms"], 4)
     print(json.dumps(out))
 
 

@@ -21,6 +21,7 @@ import argparse
 import os
 import sys
 import time
+from functools import partial
 from pathlib import Path
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
@@ -70,28 +71,34 @@ def build(batch, size, remat_prefix, fast_stem=True):
 
 
 def step_slope(step, ts, args, iters):
-    """Seconds/step: (time(2N) - time(N)) / N of on-device chained steps."""
+    """Seconds/step: (time(2N) - time(N)) / N of on-device chained steps.
 
-    @jax.jit
+    The carry state is DONATED through every call so only one train-state
+    copy is ever live — w6-sized states (~840 MB params+mom+EMA) plus
+    bs4@1280 aux activations OOM the chip if the input/output copies of
+    each timed run coexist (observed RESOURCE_EXHAUSTED, 2026-08-19).
+    """
+
+    @partial(jax.jit, donate_argnums=0)
     def run_n(ts0, n):
         def body(_, ts):
             ts2, _m = step(ts, *args)
             return ts2
         return jax.lax.fori_loop(0, n, body, ts0)
 
-    out = run_n(ts, 1)
-    _ = np.asarray(out.step)  # compile + settle
+    ts = run_n(ts, 1)
+    _ = np.asarray(ts.step)  # compile + settle
 
     def timed(n):
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
-            o = run_n(ts, n)
-            _ = np.asarray(o.step)
-            best = min(best, time.perf_counter() - t0)
-        return best
+        nonlocal ts
+        t0 = time.perf_counter()
+        ts = run_n(ts, n)
+        _ = np.asarray(ts.step)
+        return time.perf_counter() - t0
 
-    t1, t2 = timed(iters), timed(2 * iters)
+    # donation chains the state forward; alternate N/2N, best-of-2 each
+    t1 = min(timed(iters), timed(iters))
+    t2 = min(timed(2 * iters), timed(2 * iters))
     return (t2 - t1) / iters
 
 

@@ -122,27 +122,31 @@ def build_serve(batch, size, cfg=None, split_concat=False):
     params = jax.device_put(params, tpu)
     state = jax.device_put(state, tpu)
     head = plan.head
-    hp = params["layers"][len(plan.layers) - 1]
+    hp_idx = len(plan.layers) - 1
 
-    @jax.jit
-    def end2end(x):
+    # params/state are jit ARGUMENTS, not closure constants: closed-over
+    # weight trees inline into the HLO (w6 = 280 MB serialized) and the
+    # dev relay's /remote_compile rejects bodies that large (HTTP 413)
+    def end2end(x, params, state):
         xf = x.astype(jnp.bfloat16) / jnp.bfloat16(255.0)
         feats, _ = apply_model(plan, params, state, xf, training=False,
                                dtype=jnp.bfloat16, return_head_inputs=True)
-        return fused_head_nms(head, hp, feats, conf_thres=0.25,
+        return fused_head_nms(head, params["layers"][hp_idx], feats,
+                              conf_thres=0.25,
                               iou_thres=0.45, max_det=300, max_nms=256,
                               compute_dtype=jnp.bfloat16)
 
+    end2end_j = jax.jit(end2end)
     rng = np.random.default_rng(0)
     x = jax.device_put(
         jnp.asarray(rng.integers(0, 255, (batch, size, size, 3), np.uint8)),
         tpu)
 
     def run():
-        out = end2end(x)
+        out = end2end_j(x, params, state)
         return np.asarray(out[0])
 
-    run.raw = (end2end, x)
+    run.raw = (end2end, x, (params, state))
     return run
 
 
