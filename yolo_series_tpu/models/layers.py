@@ -16,6 +16,7 @@ checkpoints import 1:1; the *implementation* is jnp/lax throughout.
 from __future__ import annotations
 
 import dataclasses
+import functools as _functools
 import math
 from typing import Any, Dict, Optional, Sequence, Tuple
 
@@ -138,48 +139,114 @@ def bn_init(c):
     return params, state
 
 
+def _bn_train_moments(x, m0, axis_name):
+    """Training batch moments (fp32), shifted one-pass for wide layers.
+
+    Shifted one-pass: center on the RUNNING mean (a known constant), so
+    sum(xc) and sum(xc^2) compute in a single fused HBM read of x. Plain
+    E[x^2]-mu^2 is ill-conditioned (cancellation amplifies
+    partitioned-reduction rounding into sharded-vs-unsharded divergence);
+    with the shift, E[xc] ~ 0 and the correction term E[xc]^2 is tiny,
+    matching two-pass accuracy. Two-pass (profiled, bs16@640 yolov7) cost
+    ~35 ms/step re-reading hi-res activations for the variance pass.
+    When m0 is stale (all-zeros at init; right after a sharp distribution
+    shift) this degrades to the classic one-pass form: relative var error
+    ~ eps*(1 + mc^2/var) in fp32, < 1e-3 even at |mc|/std = 100 — below
+    the bf16 activation noise floor — and the max(.,0) clamp guards the
+    pathological limit. Kaiming-init conv outputs are near zero-mean, so
+    the init case is also benign.
+    """
+    xf = x.astype(jnp.float32)
+    if x.shape[-1] >= 64:
+        xc = xf - m0
+        mc = jnp.mean(xc, axis=(0, 1, 2))
+        msq = jnp.mean(jnp.square(xc), axis=(0, 1, 2))
+        if axis_name is not None:
+            mc = jax.lax.pmean(mc, axis_name)
+            msq = jax.lax.pmean(msq, axis_name)
+        mean = m0 + mc
+        var = jnp.maximum(msq - jnp.square(mc), 0.0)
+    else:
+        # narrow layers (< half a 128-lane tile, i.e. the hi-res stem
+        # conv): the fused two-output reduce forces a LAYOUT copy of the
+        # huge activation (~3.5 ms each way at 640x640x32, profiled),
+        # which costs more than the second read — keep two-pass there
+        mean = jnp.mean(xf, axis=(0, 1, 2))
+        if axis_name is not None:
+            mean = jax.lax.pmean(mean, axis_name)
+        var = jnp.mean(jnp.square(xf - mean), axis=(0, 1, 2))
+        if axis_name is not None:
+            var = jax.lax.pmean(var, axis_name)
+    return mean, var
+
+
+@_functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _bn_train_core(axis_name, x, scale, bias, m0):
+    """Training-mode BN (moments + normalize + affine) with a custom VJP.
+
+    WHY custom: under plain autodiff the elementwise chain
+    `(x.f32 - mean) * inv + bias` saves its fp32 intermediates for the
+    backward pass. On TPU a bf16->fp32 convert is a data-FORMAT change
+    (retile (8,128)(2,1) -> (8,128)), so every BN residual materializes a
+    full-size fp32 copy of a hi-res activation. Profiled on yolov7-w6
+    bs4@1280 train: ~70 ms/step of 233 is convert/copy/pad traffic rooted
+    at these saves. The custom VJP saves only (bf16 x, mean, var, scale)
+    and recomputes xhat inside fused backward reductions — the classic
+    in-place BN backward (two fused reads of x/gy, one write of dx, all
+    in bf16 layouts).
+
+    Backward is the exact analytic gradient of these moments: for both
+    the shifted one-pass and the two-pass form, d mean/dx_i = 1/n and
+    d var/dx_i = 2 (x_i - mean)/n, so the classic BN training backward
+    applies unchanged. Cross-replica (pmean) moments psum the channel
+    sums with the global n.
+    """
+    mean, var = _bn_train_moments(x, m0, axis_name)
+    inv = jax.lax.rsqrt(var + BN_EPS) * scale
+    y = (x.astype(jnp.float32) - mean) * inv + bias
+    return y.astype(x.dtype), mean, var
+
+
+def _bn_train_core_fwd(axis_name, x, scale, bias, m0):
+    y, mean, var = _bn_train_core(axis_name, x, scale, bias, m0)
+    return (y, mean, var), (x, mean, var, scale)
+
+
+def _bn_train_core_bwd(axis_name, res, cots):
+    x, mean, var, scale = res
+    gy, gm, gv = cots
+    xf = x.astype(jnp.float32)
+    gyf = gy.astype(jnp.float32)
+    inv = jax.lax.rsqrt(var + BN_EPS)
+    xc = xf - mean
+    xhat = xc * inv
+    sg = jnp.sum(gyf, axis=(0, 1, 2))
+    sgx = jnp.sum(gyf * xhat, axis=(0, 1, 2))
+    n = x.shape[0] * x.shape[1] * x.shape[2]
+    if axis_name is not None:
+        sg = jax.lax.psum(sg, axis_name)
+        sgx = jax.lax.psum(sgx, axis_name)
+        n = n * jax.lax.psum(1, axis_name)
+    dscale = sgx
+    dbias = sg
+    dx = (scale * inv) * (gyf - sg / n - xhat * (sgx / n))
+    # cotangents of the aux (mean, var) outputs — zero in the train step
+    # (they only feed the running-stat update) but kept exact:
+    dx = dx + gm / n + gv * (2.0 / n) * xc
+    return dx.astype(x.dtype), dscale, dbias, jnp.zeros_like(mean)
+
+
+_bn_train_core.defvjp(_bn_train_core_fwd, _bn_train_core_bwd)
+
+
 def batch_norm(bn_params, bn_state, x, ctx: Ctx):
     """BatchNorm with optional cross-replica moment sync (pmean SyncBN)."""
     scale, bias = bn_params["scale"], bn_params["bias"]
     if ctx.training and ctx.bn_shards > 1:
         return _batch_norm_per_replica(bn_params, bn_state, x, ctx)
     if ctx.training:
-        xf = x.astype(jnp.float32)
-        # shifted one-pass moments: center on the RUNNING mean (a known
-        # constant), so sum(xc) and sum(xc^2) compute in a single fused HBM
-        # read of x. Plain E[x^2]-mu^2 is ill-conditioned (cancellation
-        # amplifies partitioned-reduction rounding into sharded-vs-unsharded
-        # divergence); with the shift, E[xc] ~ 0 and the correction term
-        # E[xc]^2 is tiny, matching two-pass accuracy. Two-pass (profiled,
-        # bs16@640 yolov7) cost ~35 ms/step re-reading hi-res activations
-        # for the variance pass.
-        # When m0 is stale (all-zeros at init; right after a sharp
-        # distribution shift) this degrades to the classic one-pass form:
-        # relative var error ~ eps*(1 + mc^2/var) in fp32, < 1e-3 even at
-        # |mc|/std = 100 — below the bf16 activation noise floor — and the
-        # max(.,0) clamp guards the pathological limit. Kaiming-init conv
-        # outputs are near zero-mean, so the init case is also benign.
-        if x.shape[-1] >= 64:
-            m0 = jax.lax.stop_gradient(bn_state["mean"])
-            xc = xf - m0
-            mc = jnp.mean(xc, axis=(0, 1, 2))
-            msq = jnp.mean(jnp.square(xc), axis=(0, 1, 2))
-            if ctx.axis_name is not None:
-                mc = jax.lax.pmean(mc, ctx.axis_name)
-                msq = jax.lax.pmean(msq, ctx.axis_name)
-            mean = m0 + mc
-            var = jnp.maximum(msq - jnp.square(mc), 0.0)
-        else:
-            # narrow layers (< half a 128-lane tile, i.e. the hi-res stem
-            # conv): the fused two-output reduce forces a LAYOUT copy of the
-            # huge activation (~3.5 ms each way at 640x640x32, profiled),
-            # which costs more than the second read — keep two-pass there
-            mean = jnp.mean(xf, axis=(0, 1, 2))
-            if ctx.axis_name is not None:
-                mean = jax.lax.pmean(mean, ctx.axis_name)
-            var = jnp.mean(jnp.square(xf - mean), axis=(0, 1, 2))
-            if ctx.axis_name is not None:
-                var = jax.lax.pmean(var, ctx.axis_name)
+        m0 = jax.lax.stop_gradient(bn_state["mean"])
+        y, mean, var = _bn_train_core(ctx.axis_name, x, scale, bias, m0)
         n = x.shape[0] * x.shape[1] * x.shape[2]
         if ctx.axis_name is not None:
             n = n * jax.lax.psum(1, ctx.axis_name)
@@ -189,12 +256,11 @@ def batch_norm(bn_params, bn_state, x, ctx: Ctx):
             "mean": (1 - m) * bn_state["mean"] + m * mean,
             "var": (1 - m) * bn_state["var"] + m * unbiased,
         }
-    else:
-        mean, var = bn_state["mean"], bn_state["var"]
-        new_state = bn_state
+        return y, new_state
+    mean, var = bn_state["mean"], bn_state["var"]
     inv = jax.lax.rsqrt(var + BN_EPS) * scale
     y = (x.astype(jnp.float32) - mean) * inv + bias
-    return y.astype(x.dtype), new_state
+    return y.astype(x.dtype), bn_state
 
 
 def _batch_norm_per_replica(bn_params, bn_state, x, ctx: Ctx):
@@ -246,9 +312,6 @@ def conv2d(x, w, stride=1, padding=0, groups=1, dtype=None):
         dimension_numbers=dn, feature_group_count=groups,
         preferred_element_type=x.dtype,
     )
-
-
-import functools as _functools
 
 
 @_functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
