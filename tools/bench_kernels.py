@@ -112,9 +112,17 @@ def main():
         print(f"{name:24s} {results[name]['ms_per_batch']:8.2f} ms/batch  "
               f"{results[name]['img_per_s']:8.1f} img/s")
 
-    # the DEFAULT stack today (bench.py/serving): pallas_stem OFF,
-    # fast_stem ON, pallas_elan OFF -> 'fast_stem'
-    default = "fast_stem"
+    # Derive the DEFAULT stack from the same env gates ServingEngine's
+    # passes consult (pallas passes are env-gated no-ops unless enabled;
+    # split_concat is a constructor opt-in, default False) so the gate
+    # can't silently compare against a stale baseline if defaults change.
+    import os
+    if os.environ.get("YOLO_TPU_PALLAS_STEM", "0") == "1":
+        default = "pallas_stem"
+    elif os.environ.get("YOLO_TPU_PALLAS_ELAN", "0") == "1":
+        default = "fast_stem+pallas_elan"
+    else:
+        default = "fast_stem"
     best = min(results, key=lambda k: results[k]["ms_per_batch"])
     # tolerate 2% noise before declaring drift
     drift = (results[best]["ms_per_batch"]

@@ -135,7 +135,7 @@ def _shim_torch_load():
 
 
 def run_reference(data_yaml: Path, hyp_yaml: Path, out: Path, epochs: int,
-                  batch_size: int, img_size: int) -> dict:
+                  batch_size: int, img_size: int, seed: int = 0) -> dict:
     """Run reference train.py::train live on CPU. Returns loss-curve rows."""
     from ref_oracle import load_reference
     load_reference()  # stubs torchvision, puts /root/reference on sys.path
@@ -157,6 +157,12 @@ def run_reference(data_yaml: Path, hyp_yaml: Path, out: Path, epochs: int,
         "ref_train_module", "/root/reference/train.py")
     ref_train = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(ref_train)
+
+    if seed:
+        # Reference hardcodes init_seeds(2 + rank) (train.py:62); offset it
+        # per-run so init + aug RNG streams vary while the dataset is fixed.
+        _orig_init_seeds = ref_train.init_seeds
+        ref_train.init_seeds = lambda s: _orig_init_seeds(s + 1000 * seed)
 
     hyp = yaml.safe_load(hyp_yaml.read_text())
     opt = types.SimpleNamespace(
@@ -192,7 +198,7 @@ def run_reference(data_yaml: Path, hyp_yaml: Path, out: Path, epochs: int,
 # ------------------------------------------------------------------ ours
 
 def run_ours(data_yaml: Path, hyp_yaml: Path, out: Path, epochs: int,
-             batch_size: int, img_size: int) -> dict:
+             batch_size: int, img_size: int, seed: int = 0) -> dict:
     import jax
     jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
@@ -205,7 +211,7 @@ def run_ours(data_yaml: Path, hyp_yaml: Path, out: Path, epochs: int,
         batch_size=batch_size, img_size=img_size,
         save_dir=str(out / "ours"), compute_dtype=jnp.float32,
         max_labels=64, noval=True, save_period=-1, autoanchor=False,
-        nominal_batch_size=64, workers=1)
+        nominal_batch_size=64, workers=1, seed=seed)
     t0 = time.time()
     res = train(tc)
     wall = time.time() - t0
@@ -307,6 +313,9 @@ def main():
     ap.add_argument("--batch-size", type=int, default=8)
     ap.add_argument("--phase", default="all",
                     choices=["all", "data", "ref", "ours", "eval"])
+    ap.add_argument("--seed", type=int, default=0,
+                    help="init/aug seed offset for BOTH frameworks "
+                         "(dataset generation stays fixed)")
     args = ap.parse_args()
 
     out = Path(args.out)
@@ -332,14 +341,16 @@ def main():
     if args.phase in ("all", "ref"):
         print("[ref] training reference torch on CPU ...")
         st["ref"] = run_reference(data_yaml, hyp_yaml, out, args.epochs,
-                                  args.batch_size, args.img_size)
+                                  args.batch_size, args.img_size,
+                                  seed=args.seed)
         state_path.write_text(json.dumps(st, indent=1))
         print(f"[ref] done in {st['ref']['wall_s']:.0f}s")
 
     if args.phase in ("all", "ours"):
         print("[ours] training yolo_series_tpu on JAX CPU ...")
         st["ours"] = run_ours(data_yaml, hyp_yaml, out, args.epochs,
-                              args.batch_size, args.img_size)
+                              args.batch_size, args.img_size,
+                              seed=args.seed)
         state_path.write_text(json.dumps(st, indent=1))
         print(f"[ours] done in {st['ours']['wall_s']:.0f}s")
 

@@ -229,9 +229,14 @@ class DynamicBatcher:
                 continue
             batch = [first]
             eng = self.engine
-            if self.bs1_engine is not None and self.q.empty():
-                # low-latency path: nothing else queued — dispatch NOW on
-                # the bs1 program, skip the co-batching wait entirely
+            if (self.bs1_engine is not None and self.q.empty()
+                    and self._done.qsize() == 0):
+                # low-latency path: nothing queued AND nothing in flight —
+                # dispatch NOW on the bs1 program, skip the co-batching wait.
+                # The in-flight check keeps sustained sub-saturation load on
+                # the co-batching path (Triton's preferred-batch-size
+                # heuristic); without it every arrival that beats the queue
+                # would serialize on the bs1 engine.
                 eng = self.bs1_engine
             else:
                 deadline = time.perf_counter() + self.max_delay

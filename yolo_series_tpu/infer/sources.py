@@ -140,6 +140,8 @@ class LoadStreams:
         self.sources = sources
         self.imgs = [None] * len(sources)
         self.caps = []
+        self.threads = []
+        self._closed = False
         for i, s in enumerate(sources):
             cap = cv2.VideoCapture(int(s) if s.isnumeric() else s)
             assert cap.isOpened(), f"failed to open {s}"
@@ -147,10 +149,11 @@ class LoadStreams:
             self.caps.append(cap)
             t = threading.Thread(target=self._update, args=(i, cap), daemon=True)
             t.start()
+            self.threads.append(t)
 
     def _update(self, i, cap):
         n = 0
-        while cap.isOpened():
+        while not self._closed and cap.isOpened():
             n += 1
             cap.grab()
             if n == 4:  # grab every 4th frame (reference datasets.py:318)
@@ -159,6 +162,15 @@ class LoadStreams:
                     self.imgs[i] = im
                 n = 0
             time.sleep(0.01)
+
+    def close(self):
+        """Stop grabber threads and release captures (the reference leaks
+        its daemon threads, datasets.py:294-300; tests need a clean stop)."""
+        self._closed = True
+        for t in self.threads:
+            t.join(timeout=2.0)
+        for cap in self.caps:
+            cap.release()
 
     def __iter__(self):
         self.count = -1

@@ -159,7 +159,19 @@ class WindowAttention(Block):
         b_, n, c = x.shape
         nh = self.num_heads
         hd = c // nh
-        qkv = _linear(params["qkv"], x).reshape(b_, n, 3, nh, hd)
+        if self.v2:
+            # Reference v2 keeps the k bias structurally zero and frozen
+            # (common.py:1711-1728: bias-free qkv Linear + q_bias/v_bias
+            # Parameters concat'd with zeros). Mask the k third here so the
+            # degrees of freedom match (its gradient is exactly zero and,
+            # with biases in the no-decay group, it stays at init).
+            qb = params["qkv"]["b"]
+            qkv_p = dict(params["qkv"])
+            qkv_p["b"] = jnp.concatenate(
+                [qb[:c], jnp.zeros_like(qb[c:2 * c]), qb[2 * c:]])
+            qkv = _linear(qkv_p, x).reshape(b_, n, 3, nh, hd)
+        else:
+            qkv = _linear(params["qkv"], x).reshape(b_, n, 3, nh, hd)
         q, k, v = (qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3))
         qf = q.astype(jnp.float32)
         kf = k.astype(jnp.float32)

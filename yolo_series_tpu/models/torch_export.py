@@ -76,6 +76,14 @@ def _export_window_attention(out, prefix: str, p, blk):
             np.asarray(p["qkv"]["w"]).T)
         b = np.asarray(p["qkv"]["b"])
         c = b.shape[0] // 3
+        if not np.allclose(b[c:2 * c], 0.0):
+            # Reference v2 has NO k-bias degree of freedom (common.py:
+            # 1711-1728); a nonzero k slice cannot be represented there and
+            # silently dropping it would change the exported attention.
+            raise ValueError(
+                f"{prefix}: nonzero k-bias slice (max "
+                f"{np.abs(b[c:2 * c]).max():.3e}) cannot be exported to the "
+                "reference Swin v2 (k bias is structurally zero there)")
         out[f"{prefix}.q_bias"] = b[:c]
         out[f"{prefix}.v_bias"] = b[2 * c:]
         out[f"{prefix}.logit_scale"] = np.asarray(p["logit_scale"])
@@ -281,9 +289,10 @@ def load_into_reference_model(ref_model, plan: GraphPlan, params, state):
     # in the instantiated reference module (relative_position_index /
     # coords_table: common.py:1389-1406, 1693-1721; OREPA avg/prior/id
     # buffers: common.py:1102-1135)
-    _FIXED = ("num_batches_tracked", "relative_position_index",
+    _FIXED = {"num_batches_tracked", "relative_position_index",
               "relative_coords_table", "weight_rbr_avg_avg",
-              "weight_rbr_prior", "id_tensor")
-    real_missing = [k for k in missing if not k.endswith(_FIXED)]
+              "weight_rbr_prior", "id_tensor"}
+    real_missing = [k for k in missing
+                    if k.rsplit(".", 1)[-1] not in _FIXED]
     assert not real_missing, f"reference keys not exported: {real_missing[:8]}"
     return ref_model

@@ -74,7 +74,9 @@ class TrainConfig:
     noval: bool = False
     autoanchor: bool = True       # BPR check + kmeans/GA recompute (train.py:278)
     warmup_min_steps: int = 1000  # reference nw floor (train.py:300)
-    multi_scale: bool = False     # bucketed ±25% device-side rescale
+    multi_scale: bool = False     # bucketed ±50% device-side rescale
+    # (5 gs-rounded buckets over the reference's uniform [0.5, 1.5]·imgsz
+    # draw, train.py:360-365; see the sizes set below)
     freeze: int = 0               # freeze first N layers (train.py:102)
     image_weights: bool = False   # class-weighted epoch resampling
     device_aug: bool = False      # warp/HSV/flip/mixup on-device
