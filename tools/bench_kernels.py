@@ -96,10 +96,38 @@ def bench_variant(plan, params, state, iters):
     return per_batch
 
 
+def bench_w6(iters_serve=10, iters_train=4):
+    """w6@1280 serve/train base-vs-lane_align rows (VERDICT r4 next-#8:
+    keep the P6 numbers measured every round, not round-3 citations)."""
+    from tools.exp_split_concat import measure_serve, measure_train
+
+    cfg_d = "yolo_series_tpu/models/cfg/deploy/yolov7-w6.yaml"
+    cfg_t = "yolo_series_tpu/models/cfg/training/yolov7-w6.yaml"
+    rows = {}
+    for variant in ("base", "lane"):
+        s = measure_serve(cfg_d, 8, 1280, iters_serve, variant)
+        rows[f"w6_serve_{variant}"] = {
+            "ms_per_batch": round(s * 1000, 2),
+            "img_per_s": round(8 / s, 1)}
+        print(f"w6_serve_{variant:18s} {s * 1000:8.2f} ms/batch  "
+              f"{8 / s:8.1f} img/s")
+    for variant in ("base", "lane"):
+        s = measure_train(cfg_t, 4, 1280, iters_train, variant)
+        rows[f"w6_train_{variant}"] = {
+            "ms_per_step": round(s * 1000, 2),
+            "img_per_s": round(4 / s, 1)}
+        print(f"w6_train_{variant:18s} {s * 1000:8.2f} ms/step   "
+              f"{4 / s:8.1f} img/s")
+    return rows
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--out", default=str(REPO / "KERNELS.json"))
+    ap.add_argument("--w6", action="store_true",
+                    help="also measure the w6@1280 serve/train "
+                         "base-vs-lane_align rows (slow: 4 big compiles)")
     args = ap.parse_args()
 
     results = {}

@@ -42,16 +42,20 @@ from tools.profile_trace import build_serve, build_train  # noqa: E402
 from tools.exp_train_mfu import step_slope  # noqa: E402
 
 
-def measure_train(cfg, batch, size, iters, split):
-    run = build_train(batch, size, cfg=cfg, split_concat=split)
+def measure_train(cfg, batch, size, iters, variant):
+    run = build_train(batch, size, cfg=cfg,
+                      split_concat=variant == "split",
+                      lane_align=variant == "lane")
     step, holder, *args = run.raw
     return step_slope(step, holder["ts"], args, iters)
 
 
-def measure_serve(cfg, batch, size, iters, split):
+def measure_serve(cfg, batch, size, iters, variant):
     from yolo_series_tpu.utils.chiprate import chip_rate
 
-    run = build_serve(batch, size, cfg=cfg, split_concat=split)
+    run = build_serve(batch, size, cfg=cfg,
+                      split_concat=variant == "split",
+                      lane_align=variant == "lane")
     end2end, x, consts = run.raw
     return chip_rate(end2end, x, iters=iters, consts=consts)
 
@@ -63,24 +67,24 @@ def main():
     ap.add_argument("--batch", type=int, default=None)
     ap.add_argument("--size", type=int, default=640)
     ap.add_argument("--iters", type=int, default=None)
-    ap.add_argument("--variant", choices=["both", "base", "split"],
+    ap.add_argument("--variant", choices=["both", "base", "split", "lane"],
                     default="both",
                     help="run one variant only (large configs OOM the chip "
-                         "if base+split train states coexist in one process)")
+                         "if base+split train states coexist in one process); "
+                         "'lane' = models/lanealign.make_lane_align")
     args = ap.parse_args()
 
     batch = args.batch or (32 if args.mode == "serve" else 16)
     iters = args.iters or (20 if args.mode == "serve" else 6)
     fn = measure_train if args.mode == "train" else measure_serve
 
-    variants = {"both": (False, True), "base": (False,),
-                "split": (True,)}[args.variant]
+    variants = {"both": ("base", "split"), "base": ("base",),
+                "split": ("split",), "lane": ("lane",)}[args.variant]
     out = {"mode": args.mode, "cfg": args.cfg, "batch": batch,
            "size": args.size}
-    for split in variants:
+    for key in variants:
         t0 = time.time()
-        s = fn(args.cfg, batch, args.size, iters, split)
-        key = "split" if split else "base"
+        s = fn(args.cfg, batch, args.size, iters, key)
         out[f"{key}_ms"] = round(s * 1000, 2)
         out[f"{key}_img_s"] = round(batch / s, 1)
         print(f"[{key}] {s * 1000:.2f} ms/batch = {batch / s:.1f} img/s "

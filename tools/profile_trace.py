@@ -96,7 +96,7 @@ def summarize(ops, steps):
     return total
 
 
-def build_serve(batch, size, cfg=None, split_concat=False):
+def build_serve(batch, size, cfg=None, split_concat=False, lane_align=False):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -118,6 +118,9 @@ def build_serve(batch, size, cfg=None, split_concat=False):
         plan, params, state = make_pallas_elan(plan, params, state)
         if split_concat:
             plan = make_split_concat(plan)
+        if lane_align:
+            from yolo_series_tpu.models.lanealign import make_lane_align
+            plan = make_lane_align(plan)
     tpu = jax.devices()[0]
     params = jax.device_put(params, tpu)
     state = jax.device_put(state, tpu)
@@ -150,7 +153,7 @@ def build_serve(batch, size, cfg=None, split_concat=False):
     return run
 
 
-def build_train(batch, size, cfg=None, split_concat=False):
+def build_train(batch, size, cfg=None, split_concat=False, lane_align=False):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -170,6 +173,9 @@ def build_train(batch, size, cfg=None, split_concat=False):
         step_plan = make_train_fast_stem(plan)
         if split_concat:
             step_plan = make_split_concat(step_plan)
+        if lane_align:
+            from yolo_series_tpu.models.lanealign import make_lane_align
+            step_plan = make_lane_align(step_plan)
         from yolo_series_tpu.models.heads import IAuxDetect
         if isinstance(plan.head, IAuxDetect):
             # P6 training cfgs (w6/e6/d6/e6e) train with the aux OTA loss

@@ -100,6 +100,91 @@ def make_dataset(root: Path, n: int, seed: int):
         (root / "labels" / f"{i}.txt").write_text("\n".join(rows))
 
 
+AUXLITE_ANCHORS = [
+    [13, 16, 19, 24, 27, 34],        # P3/8
+    [38, 48, 48, 38, 58, 71],        # P4/16
+    [77, 96, 96, 77, 115, 125],      # P5/32
+    [137, 166, 168, 134, 200, 240],  # P6/64
+]
+
+
+def write_auxlite_cfg(path: Path, nc: int = 3):
+    """A scaled-down ReOrg+IAuxDetect P6 config in the reference cfg DSL
+    (both frameworks parse it). Mirrors yolov7-w6.yaml's topology —
+    ReOrg stem, 4-level backbone, SPPCSPC + top-down/bottom-up FPN, lead
+    heads off the bottom-up path and aux heads off the top-down path
+    (reference cfg/training/yolov7-w6.yaml:162, train_aux.py:306) — at
+    ~1/8 the channels and 2-deep ELANs so the find_5_positive / 0.25-aux
+    composition can be trained to mAP on CPU."""
+
+    def elan(c_mid, c_out):
+        return [
+            [-1, 1, "Conv", [c_mid, 1, 1]],
+            [-2, 1, "Conv", [c_mid, 1, 1]],
+            [-1, 1, "Conv", [c_mid, 3, 1]],
+            [-1, 1, "Conv", [c_mid, 3, 1]],
+            [[-1, -2, -3, -4], 1, "Concat", [1]],
+            [-1, 1, "Conv", [c_out, 1, 1]],
+        ]
+
+    backbone = [
+        [-1, 1, "ReOrg", []],            # 0   /2
+        [-1, 1, "Conv", [16, 3, 1]],     # 1
+        [-1, 1, "Conv", [32, 3, 2]],     # 2   /4
+        *elan(16, 32),                   # 3-8
+        [-1, 1, "Conv", [64, 3, 2]],     # 9   /8
+        *elan(32, 64),                   # 10-15 (P3 = 15)
+        [-1, 1, "Conv", [128, 3, 2]],    # 16  /16
+        *elan(64, 128),                  # 17-22 (P4 = 22)
+        [-1, 1, "Conv", [192, 3, 2]],    # 23  /32
+        *elan(96, 192),                  # 24-29 (P5 = 29)
+        [-1, 1, "Conv", [256, 3, 2]],    # 30  /64
+        *elan(128, 256),                 # 31-36 (P6 = 36)
+    ]
+    head = [
+        [-1, 1, "SPPCSPC", [128]],                       # 37
+        [-1, 1, "Conv", [96, 1, 1]],                     # 38
+        [-1, 1, "nn.Upsample", [None, 2, "nearest"]],    # 39
+        [29, 1, "Conv", [96, 1, 1]],                     # 40
+        [[-1, -2], 1, "Concat", [1]],                    # 41
+        *elan(48, 96),                                   # 42-47 (P5 td = 47)
+        [-1, 1, "Conv", [64, 1, 1]],                     # 48
+        [-1, 1, "nn.Upsample", [None, 2, "nearest"]],    # 49
+        [22, 1, "Conv", [64, 1, 1]],                     # 50
+        [[-1, -2], 1, "Concat", [1]],                    # 51
+        *elan(32, 64),                                   # 52-57 (P4 td = 57)
+        [-1, 1, "Conv", [32, 1, 1]],                     # 58
+        [-1, 1, "nn.Upsample", [None, 2, "nearest"]],    # 59
+        [15, 1, "Conv", [32, 1, 1]],                     # 60
+        [[-1, -2], 1, "Concat", [1]],                    # 61
+        *elan(16, 32),                                   # 62-67 (P3 td = 67)
+        [-1, 1, "Conv", [64, 3, 2]],                     # 68  /16
+        [[-1, 57], 1, "Concat", [1]],                    # 69
+        *elan(32, 64),                                   # 70-75 (P4 bu = 75)
+        [-1, 1, "Conv", [96, 3, 2]],                     # 76  /32
+        [[-1, 47], 1, "Concat", [1]],                    # 77
+        *elan(48, 96),                                   # 78-83 (P5 bu = 83)
+        [-1, 1, "Conv", [128, 3, 2]],                    # 84  /64
+        [[-1, 37], 1, "Concat", [1]],                    # 85
+        *elan(64, 128),                                  # 86-91 (P6 bu = 91)
+        # lead heads (bottom-up path), like w6's 114-117
+        [67, 1, "Conv", [64, 3, 1]],                     # 92
+        [75, 1, "Conv", [128, 3, 1]],                    # 93
+        [83, 1, "Conv", [192, 3, 1]],                    # 94
+        [91, 1, "Conv", [256, 3, 1]],                    # 95
+        # aux heads (top-down path), like w6's 118-121
+        [67, 1, "Conv", [80, 3, 1]],                     # 96
+        [57, 1, "Conv", [160, 3, 1]],                    # 97
+        [47, 1, "Conv", [240, 3, 1]],                    # 98
+        [37, 1, "Conv", [320, 3, 1]],                    # 99
+        [[92, 93, 94, 95, 96, 97, 98, 99], 1, "IAuxDetect",
+         ["nc", "anchors"]],                             # 100
+    ]
+    cfg = {"nc": nc, "depth_multiple": 1.0, "width_multiple": 1.0,
+           "anchors": AUXLITE_ANCHORS, "backbone": backbone, "head": head}
+    path.write_text(yaml.dump(cfg, sort_keys=False, default_flow_style=None))
+
+
 def make_hyp(path: Path):
     """Matched hyp: reference hyp.scratch.tiny.yaml with mixup/paste_in off
     (both frameworks read this same file)."""
@@ -135,8 +220,12 @@ def _shim_torch_load():
 
 
 def run_reference(data_yaml: Path, hyp_yaml: Path, out: Path, epochs: int,
-                  batch_size: int, img_size: int, seed: int = 0) -> dict:
-    """Run reference train.py::train live on CPU. Returns loss-curve rows."""
+                  batch_size: int, img_size: int, seed: int = 0,
+                  cfg: str = "/root/reference/cfg/training/yolov7-tiny.yaml",
+                  train_script: str = "/root/reference/train.py") -> dict:
+    """Run reference train.py::train (or train_aux.py::train for aux-head
+    configs, reference train_aux.py:33,306) live on CPU. Returns
+    loss-curve rows."""
     from ref_oracle import load_reference
     load_reference()  # stubs torchvision, puts /root/reference on sys.path
 
@@ -154,7 +243,7 @@ def run_reference(data_yaml: Path, hyp_yaml: Path, out: Path, epochs: int,
 
     import importlib.util
     spec = importlib.util.spec_from_file_location(
-        "ref_train_module", "/root/reference/train.py")
+        "ref_train_module", train_script)
     ref_train = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(ref_train)
 
@@ -166,7 +255,7 @@ def run_reference(data_yaml: Path, hyp_yaml: Path, out: Path, epochs: int,
 
     hyp = yaml.safe_load(hyp_yaml.read_text())
     opt = types.SimpleNamespace(
-        weights="", cfg="/root/reference/cfg/training/yolov7-tiny.yaml",
+        weights="", cfg=cfg,
         data=str(data_yaml), hyp=str(hyp_yaml), epochs=epochs,
         batch_size=batch_size, total_batch_size=batch_size,
         img_size=[img_size, img_size], rect=False, resume=False,
@@ -198,7 +287,9 @@ def run_reference(data_yaml: Path, hyp_yaml: Path, out: Path, epochs: int,
 # ------------------------------------------------------------------ ours
 
 def run_ours(data_yaml: Path, hyp_yaml: Path, out: Path, epochs: int,
-             batch_size: int, img_size: int, seed: int = 0) -> dict:
+             batch_size: int, img_size: int, seed: int = 0,
+             cfg: str = "yolo_series_tpu/models/cfg/training/yolov7-tiny.yaml",
+             ) -> dict:
     import jax
     jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
@@ -206,7 +297,7 @@ def run_ours(data_yaml: Path, hyp_yaml: Path, out: Path, epochs: int,
     from yolo_series_tpu.train.trainer import TrainConfig, train
 
     tc = TrainConfig(
-        cfg="yolo_series_tpu/models/cfg/training/yolov7-tiny.yaml",
+        cfg=cfg,
         data=str(data_yaml), hyp=str(hyp_yaml), epochs=epochs,
         batch_size=batch_size, img_size=img_size,
         save_dir=str(out / "ours"), compute_dtype=jnp.float32,
@@ -226,7 +317,8 @@ def run_ours(data_yaml: Path, hyp_yaml: Path, out: Path, epochs: int,
 
 # ------------------------------------------------------------------ eval
 
-def _load_plans(ref_ckpt: str, our_ckpt: str, nc: int):
+def _load_plans(ref_ckpt: str, our_ckpt: str, nc: int,
+                cfg: str = "yolo_series_tpu/models/cfg/training/yolov7-tiny.yaml"):
     """Both checkpoints as (plan, params, state) in THIS framework."""
     from ref_oracle import load_reference
     load_reference()  # reference ckpts pickle whole modules; unpickling
@@ -237,21 +329,20 @@ def _load_plans(ref_ckpt: str, our_ckpt: str, nc: int):
     from yolo_series_tpu.models.torch_import import load_torch_checkpoint
     from yolo_series_tpu.train.checkpoints import load_checkpoint_any
 
-    plan_ref = compile_graph(
-        "yolo_series_tpu/models/cfg/training/yolov7-tiny.yaml", nc=nc)
+    plan_ref = compile_graph(cfg, nc=nc)
     p_ref, s_ref = load_torch_checkpoint(ref_ckpt, plan_ref, prefer_ema=True)
     plan_our, p_our, s_our = load_checkpoint_any(our_ckpt)
     return (plan_ref, p_ref, s_ref), (plan_our, p_our, s_our)
 
 
 def _our_eval(plan, params, state, val_images: str, img_size, batch_size,
-              names):
+              names, stride=32):
     from yolo_series_tpu.data.datasets import DetectionDataset, create_loader
     from yolo_series_tpu.eval.evaluator import evaluate
 
     ds = DetectionDataset(val_images, img_size=img_size,
                           batch_size=batch_size, augment=False, rect=True,
-                          stride=32, pad=0.5)
+                          stride=stride, pad=0.5)
     loader = create_loader(ds, batch_size=batch_size, shuffle=False,
                            max_labels=64, drop_last=False)
     r = evaluate(plan, params, state, loader, names=names)
@@ -259,7 +350,8 @@ def _our_eval(plan, params, state, val_images: str, img_size, batch_size,
 
 
 def _ref_eval(plan, params, state, val_images: str, img_size, batch_size,
-              names):
+              names, cfg="/root/reference/cfg/training/yolov7-tiny.yaml",
+              stride=32):
     """Reference test.py::test on a model exported into the reference
     torch Model (models/torch_export.py), as in
     tests/test_eval_protocol_parity.py."""
@@ -273,8 +365,7 @@ def _ref_eval(plan, params, state, val_images: str, img_size, batch_size,
     R = load_reference()
     torch.manual_seed(0)
     nc = len(names)
-    ref_model = R["Model"]("/root/reference/cfg/training/yolov7-tiny.yaml",
-                           ch=3, nc=nc).float().eval()
+    ref_model = R["Model"](cfg, ch=3, nc=nc).float().eval()
     load_into_reference_model(ref_model, plan, params, state)
     ref_model.names = list(names)
 
@@ -282,7 +373,7 @@ def _ref_eval(plan, params, state, val_images: str, img_size, batch_size,
 
     opt = types.SimpleNamespace(single_cls=False)
     dataloader = create_dataloader(
-        "Test", val_images, img_size, batch_size, 32, opt, pad=0.5,
+        "Test", val_images, img_size, batch_size, stride, opt, pad=0.5,
         rect=True, workers=0, data_dict={})[0]
     spec = importlib.util.spec_from_file_location(
         "ref_test_module", "/root/reference/test.py")
@@ -316,10 +407,26 @@ def main():
     ap.add_argument("--seed", type=int, default=0,
                     help="init/aug seed offset for BOTH frameworks "
                          "(dataset generation stays fixed)")
+    ap.add_argument("--model", default="tiny", choices=["tiny", "auxlite"],
+                    help="tiny = yolov7-tiny via reference train.py; "
+                         "auxlite = scaled-down ReOrg+IAuxDetect P6 cfg via "
+                         "reference train_aux.py (aux-OTA composition)")
     args = ap.parse_args()
 
     out = Path(args.out)
     out.mkdir(parents=True, exist_ok=True)
+    if args.model == "auxlite":
+        aux_cfg = out / "auxlite.yaml"
+        if not aux_cfg.exists():
+            write_auxlite_cfg(aux_cfg)
+        ref_cfg = our_cfg = str(aux_cfg)
+        train_script = "/root/reference/train_aux.py"
+        stride = 64
+    else:
+        ref_cfg = "/root/reference/cfg/training/yolov7-tiny.yaml"
+        our_cfg = "yolo_series_tpu/models/cfg/training/yolov7-tiny.yaml"
+        train_script = "/root/reference/train.py"
+        stride = 32
     data_root = out / "data"
     data_yaml = out / "data.yaml"
     hyp_yaml = out / "hyp.yaml"
@@ -342,7 +449,8 @@ def main():
         print("[ref] training reference torch on CPU ...")
         st["ref"] = run_reference(data_yaml, hyp_yaml, out, args.epochs,
                                   args.batch_size, args.img_size,
-                                  seed=args.seed)
+                                  seed=args.seed, cfg=ref_cfg,
+                                  train_script=train_script)
         state_path.write_text(json.dumps(st, indent=1))
         print(f"[ref] done in {st['ref']['wall_s']:.0f}s")
 
@@ -350,23 +458,23 @@ def main():
         print("[ours] training yolo_series_tpu on JAX CPU ...")
         st["ours"] = run_ours(data_yaml, hyp_yaml, out, args.epochs,
                               args.batch_size, args.img_size,
-                              seed=args.seed)
+                              seed=args.seed, cfg=our_cfg)
         state_path.write_text(json.dumps(st, indent=1))
         print(f"[ours] done in {st['ours']['wall_s']:.0f}s")
 
     if args.phase in ("all", "eval"):
         val_images = str(data_root / "val" / "images")
         (plan_r, p_r, s_r), (plan_o, p_o, s_o) = _load_plans(
-            st["ref"]["ckpt"], st["ours"]["ckpt"], nc=3)
+            st["ref"]["ckpt"], st["ours"]["ckpt"], nc=3, cfg=our_cfg)
         matrix = {}
         for ck_name, (plan, p, s) in (("ref_ckpt", (plan_r, p_r, s_r)),
                                       ("our_ckpt", (plan_o, p_o, s_o))):
             matrix[f"{ck_name}/our_eval"] = _our_eval(
                 plan, p, s, val_images, args.img_size, args.batch_size,
-                CLASS_NAMES)
+                CLASS_NAMES, stride=stride)
             matrix[f"{ck_name}/ref_eval"] = _ref_eval(
                 plan, p, s, val_images, args.img_size, args.batch_size,
-                CLASS_NAMES)
+                CLASS_NAMES, cfg=ref_cfg, stride=stride)
         st["matrix"] = matrix
         state_path.write_text(json.dumps(st, indent=1))
         print(f"\n{'':22s} {'mp':>8s} {'mr':>8s} {'map50':>8s} {'map':>8s}")
