@@ -81,16 +81,35 @@ def quantize_model(plan: GraphPlan, params, state,
     return {"layers": new}, state
 
 
+def _pallas_int8_enabled() -> bool:
+    import os
+    return os.environ.get("YOLO_TPU_PALLAS_INT8", "1") == "1"
+
+
 def int8_conv(x, wq, sw, b, stride, padding, groups, sx=None):
     """Quantized conv: int8 x int8 -> int32, dequant, bias.
 
     x: fp activations; sx: static per-tensor scale (calibrated) or None for
     in-graph dynamic absmax.
+
+    1x1/s1/g1 lane-aligned convs (the FLOPs majority) dispatch to the
+    Pallas int8 MXU matmul (ops/pallas_int8.py, 1.48x XLA bf16 — XLA
+    itself has no int8 MXU lowering on v5e); everything else takes the
+    XLA int8 conv. Opt out with YOLO_TPU_PALLAS_INT8=0.
     """
     if sx is None:
         sx = jax.lax.stop_gradient(
             jnp.maximum(jnp.max(jnp.abs(x)) / 127.0, 1e-8))
     xq = jnp.clip(jnp.round(x / sx), -127, 127).astype(jnp.int8)
+    kh, kw, kc, n = wq.shape
+    if (kh == 1 and kw == 1 and groups == 1 and x.ndim == 4
+            and (stride == 1 or stride == (1, 1))
+            and kc % 128 == 0 and n % 128 == 0
+            and jax.devices()[0].platform == "tpu"
+            and _pallas_int8_enabled()):
+        from yolo_series_tpu.ops.pallas_int8 import int8_conv1x1
+        return int8_conv1x1(xq, wq, sx * sw, jnp.asarray(b, jnp.float32),
+                            out_dtype=jnp.float32)
     if isinstance(padding, int):
         pad = [(padding, padding), (padding, padding)]
     elif isinstance(padding, (tuple, list)) and padding and isinstance(padding[0], int):

@@ -77,6 +77,14 @@ class TrainConfig:
     multi_scale: bool = False     # bucketed ±50% device-side rescale
     # (5 gs-rounded buckets over the reference's uniform [0.5, 1.5]·imgsz
     # draw, train.py:360-365; see the sizes set below)
+    multi_scale_full_range: bool = False  # reference distribution: ANY
+    # gs multiple in [0.5, 1.5]·imgsz (one compiled step per size —
+    # ~2x the buckets' compile count at 640; A/B lever, PARITY "multi-
+    # scale bucketing")
+    multi_scale_every: int = 1    # redraw cadence in optimizer steps
+    # (reference redraws per BATCH, i.e. every step, train.py:360; its
+    # de-facto cadence with nbs accumulation is every accumulate
+    # micro-batches — set 10 to mimic a sticky per-10-batch draw)
     freeze: int = 0               # freeze first N layers (train.py:102)
     image_weights: bool = False   # class-weighted epoch resampling
     device_aug: bool = False      # warp/HSV/flip/mixup on-device
@@ -313,9 +321,15 @@ def train(tc: TrainConfig, train_ds: Optional[DetectionDataset] = None,
         # draws uniform [0.5, 1.5]·imgsz gs-rounded every batch — unbounded
         # shape churn XLA can't cache); 5 buckets, one compiled step each,
         # built lazily on first draw
-        sizes = sorted({int(round(tc.img_size * s / gs)) * gs
-                        for s in (0.5, 0.75, 1.0, 1.25, 1.5)})
+        if tc.multi_scale_full_range:
+            lo = int(round(tc.img_size * 0.5 / gs))
+            hi = int(round(tc.img_size * 1.5 / gs))
+            sizes = [s * gs for s in range(lo, hi + 1)]
+        else:
+            sizes = sorted({int(round(tc.img_size * s / gs)) * gs
+                            for s in (0.5, 0.75, 1.0, 1.25, 1.5)})
         size_rng = np.random.default_rng(tc.seed + 777)
+        ms_cur = {"size": None, "step": -1}
     step_cache: Dict[Any, Any] = {}
 
     def _get_step(accum: int, size: Optional[int] = None):
@@ -423,8 +437,14 @@ def train(tc: TrainConfig, train_ds: Optional[DetectionDataset] = None,
             # from batch 0 (train.py:360) — warmup batches here train at
             # the base size only.
             ramping = tc.warmup_accumulate and acc < accumulate
-            fn = _get_step(acc, sizes[size_rng.integers(len(sizes))]
-                           if tc.multi_scale and not ramping else None)
+            ms_size = None
+            if tc.multi_scale and not ramping:
+                ms_cur["step"] += 1
+                if (ms_cur["size"] is None
+                        or ms_cur["step"] % tc.multi_scale_every == 0):
+                    ms_cur["size"] = sizes[size_rng.integers(len(sizes))]
+                ms_size = ms_cur["size"]
+            fn = _get_step(acc, ms_size)
             if "tiles" in micro[0] or "canvases" in micro[0]:
                 # device-aug tail (data/device_aug.py): warp/HSV/flip/mixup
                 # run on-device; output is already normalized float
