@@ -47,25 +47,45 @@ def _quantize_conv_leaf(params: Dict[str, Any], act_scale=None):
     return out
 
 
+def pallas_1x1_eligible(block) -> bool:
+    """True when ops/pallas_int8.int8_conv1x1 will take this conv: 1x1,
+    stride 1, no groups, 128-aligned channels (the int8 MXU kernel's
+    lane constraints)."""
+    k = getattr(block, "k", None)
+    s = getattr(block, "s", 1)
+    g = getattr(block, "g", 1)
+    c1 = getattr(block, "c1", 0)
+    c2 = getattr(block, "c2", 0)
+    return (k == 1 and s in (1, (1, 1)) and g == 1
+            and c1 % 128 == 0 and c2 % 128 == 0)
+
+
 def quantize_tree(block, params, act_scales: Optional[Dict[int, float]] = None,
-                  _path=""):
-    """Recursively quantize all conv leaves of a fused param tree."""
+                  _path="", mixed: bool = False):
+    """Recursively quantize conv leaves of a fused param tree. With
+    mixed=True, quantize ONLY the Pallas-int8-eligible 1x1 convs (the
+    FLOPs majority) and keep the rest bf16 — the per-layer tactic
+    selection TRT's INT8 builder does (reference README.md:192-228)."""
     if isinstance(block, (L.ConvBnAct, L.Focus, L.RepConv, L.PlainConv)):
+        if mixed and not pallas_1x1_eligible(block):
+            return params
         scale = act_scales.get(_path) if act_scales else None
         return _quantize_conv_leaf(params, scale)
     if isinstance(block, L.Composite):
         out = {}
         for name, child in block.children().items():
             out[name] = quantize_tree(child, params[name], act_scales,
-                                      f"{_path}/{name}")
+                                      f"{_path}/{name}", mixed=mixed)
         return out
     return params
 
 
 def quantize_model(plan: GraphPlan, params, state,
-                   act_scales: Optional[Dict[str, float]] = None):
+                   act_scales: Optional[Dict[str, float]] = None,
+                   mixed: bool = False):
     """Quantize a FUSED model's conv weights; heads stay fp (the reference
-    TRT engines also keep the detect layer fp16, export_onnx.py)."""
+    TRT engines also keep the detect layer fp16, export_onnx.py).
+    mixed=True -> only Pallas-int8-eligible 1x1 convs (see quantize_tree)."""
     lp = params["layers"]
     new = []
     for idx, spec in enumerate(plan.layers):
@@ -73,11 +93,11 @@ def quantize_model(plan: GraphPlan, params, state,
             new.append(lp[idx])
         elif spec.n_seq > 1:
             new.append([quantize_tree(spec.block, lp[idx][r], act_scales,
-                                      f"l{idx}.{r}")
+                                      f"l{idx}.{r}", mixed=mixed)
                         for r in range(spec.n_seq)])
         else:
             new.append(quantize_tree(spec.block, lp[idx], act_scales,
-                                     f"l{idx}"))
+                                     f"l{idx}", mixed=mixed))
     return {"layers": new}, state
 
 

@@ -53,7 +53,8 @@ def _pick_block(dim: int, prefs: tuple) -> int:
 
 
 def int8_matmul_dequant(xq, wq, scale, bias, out_dtype=jnp.float32,
-                        bm: int = 0, bk: int = 0, bn: int = 0):
+                        bm: int = 0, bk: int = 0, bn: int = 0,
+                        interpret: bool = False):
     """(M,K)int8 @ (K,N)int8 -> int32 -> fp: acc * scale[n] + bias[n].
 
     scale is the combined sx*sw per-output-channel dequant factor (N,),
@@ -87,6 +88,7 @@ def int8_matmul_dequant(xq, wq, scale, bias, out_dtype=jnp.float32,
         scratch_shapes=[pltpu.VMEM((bm, bn), jnp.int32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary")),
+        interpret=interpret,
     )(xq, wq, scale.reshape(1, n).astype(jnp.float32),
       bias.reshape(1, n).astype(jnp.float32))
     return out[:m] if m_pad else out
