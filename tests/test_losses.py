@@ -236,3 +236,68 @@ def test_compute_loss_aux_ota_matches_reference(seed):
                                rtol=2e-3, atol=1e-5)
     np.testing.assert_allclose(float(items["cls"]), float(ref_items[2]),
                                rtol=2e-3, atol=1e-5)
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_compute_loss_aux_ota_nl4_matches_reference(seed, tmp_path):
+    """4-level (P3-P6) aux OTA golden — the 3-level test above cannot see
+    nl=4-only behavior: balance [4.0, 1.0, 0.25, 0.06] (reference
+    loss.py:1204), stride-64 grids, and the 4-level find_5/3_positive
+    offsets. Uses the same scaled-down ReOrg+IAuxDetect cfg the
+    dual-framework aux accuracy compare trains
+    (tools/train_accuracy_compare.write_auxlite_cfg)."""
+    import torch
+
+    import jax.numpy as jnp
+    from tools.train_accuracy_compare import write_auxlite_cfg
+    from yolo_series_tpu.losses import LossHyp
+    from yolo_series_tpu.losses.aux_ota import make_compute_loss_aux_ota
+    from yolo_series_tpu.models.graph import compile_graph
+
+    nc = 3
+    cfg = tmp_path / "auxlite.yaml"
+    write_auxlite_cfg(cfg, nc=nc)
+
+    ref = load_reference()
+    torch.manual_seed(0)
+    model = ref["Model"](str(cfg), ch=3, nc=nc).float()
+    model.hyp = dict(HYP)
+    model.gr = 1.0
+    import sys
+    sys.path.insert(0, "/root/reference")
+    from utils.loss import ComputeLossAuxOTA as RefAux
+
+    ref_loss = RefAux(model)
+
+    img = 256
+    strides = [8, 16, 32, 64]
+    rng = np.random.default_rng(seed)
+    bs, na, no = 2, 3, nc + 5
+    raw_lead = [rng.normal(0, 1.0, (bs, na, img // s, img // s, no))
+                .astype(np.float32) for s in strides]
+    raw_aux = [rng.normal(0, 1.0, r.shape).astype(np.float32)
+               for r in raw_lead]
+    _, targets = _random_case(seed, bs=bs, img=img, nc=nc)
+    raw = raw_lead + raw_aux
+    imgs = torch.zeros((bs, 3, img, img))
+
+    with torch.no_grad():
+        ref_total, ref_items = ref_loss(
+            [torch.from_numpy(r) for r in raw], torch.from_numpy(targets),
+            imgs)
+
+    plan = compile_graph(str(cfg))
+    assert len(plan.head.strides) == 4, plan.head.strides
+    labels, mask = _to_padded(targets, bs)
+    loss_fn = make_compute_loss_aux_ota(plan.head, LossHyp())
+    total, items = loss_fn([jnp.asarray(r) for r in raw],
+                           jnp.asarray(labels), jnp.asarray(mask))
+
+    np.testing.assert_allclose(float(items["box"]), float(ref_items[0]),
+                               rtol=2e-3, atol=1e-5)
+    np.testing.assert_allclose(float(items["obj"]), float(ref_items[1]),
+                               rtol=2e-3, atol=1e-5)
+    np.testing.assert_allclose(float(items["cls"]), float(ref_items[2]),
+                               rtol=2e-3, atol=1e-5)
+    np.testing.assert_allclose(float(total), float(ref_total), rtol=2e-3,
+                               atol=1e-5)
