@@ -82,7 +82,13 @@ def test_evolve_two_generations(tiny_shapes, tmp_path):
     full = load_hyp(evolved)
     best_row = x[np.argmax(fitness(x))]
     for i, k in enumerate(keys):
-        assert abs(full[k] - best_row[4 + i]) < 1e-6, (k, full[k])
+        # evolve.txt stores %.5g (reference train.py print_mutation
+        # '%10.5g'), so the roundtrip quantizes to 5 significant digits —
+        # compare at that resolution, not bit-exactly (mutations are
+        # rng-driven, so a 6-sig-digit draw like 2.85266 -> "2.8527" is
+        # routine)
+        tol = max(1e-6, 1e-4 * abs(full[k]))
+        assert abs(full[k] - best_row[4 + i]) < tol, (k, full[k])
 
     # each generation trained for real: per-gen run dirs with checkpoints
     for gen in range(2):

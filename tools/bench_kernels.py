@@ -165,6 +165,10 @@ def main():
         "best_stack": best,
         "defaults_optimal": not drift,
     }
+    if args.w6:
+        # separate key: w6 rows are bs8@1280 serve / bs4 train and must
+        # not enter the yolov7 bs32@640 best/drift comparison above
+        record["w6"] = bench_w6(iters_serve=args.iters)
     out_path = Path(args.out)
     history = []
     if out_path.exists():
