@@ -353,6 +353,62 @@ def test_detect_video_end_to_end(tmp_path, monkeypatch):
     assert len(txts) == n, f"expected one txt per frame, got {len(txts)}"
 
 
+def test_detect_view_img(tmp_path, monkeypatch, capsys):
+    """--view-img (reference detect.py:171-175): shows every processed
+    frame via cv2.imshow when a display exists, and on a headless box
+    (cv2.error) warns ONCE and keeps processing instead of crashing."""
+    import cv2
+    import yaml as _yaml
+
+    from yolo_series_tpu.cli.detect import detect, make_parser
+    from yolo_series_tpu.models.model import init_model
+    from yolo_series_tpu.models.graph import compile_graph
+    from yolo_series_tpu.train.checkpoints import save_checkpoint
+    from yolo_series_tpu.train.optim import OptimConfig
+    from yolo_series_tpu.train.step import init_train_state
+
+    cfg_path = "yolo_series_tpu/models/cfg/training/yolov7-tiny.yaml"
+    plan = compile_graph(cfg_path)
+    params, state = init_model(plan, jax.random.PRNGKey(2))
+    ts = init_train_state(params, state, OptimConfig())
+    ckpt = tmp_path / "w.ckpt"
+    save_checkpoint(str(ckpt), ts, _yaml.safe_load(open(cfg_path)), epoch=0)
+
+    rng = np.random.default_rng(5)
+    src = tmp_path / "imgs"
+    src.mkdir()
+    n = 3
+    for i in range(n):
+        cv2.imwrite(str(src / f"im{i}.jpg"),
+                    rng.integers(0, 255, (120, 160, 3), dtype=np.uint8))
+
+    base = ["--weights", str(ckpt), "--source", str(src),
+            "--img-size", "128", "--conf-thres", "0.0001",
+            "--view-img", "--nosave"]
+
+    shown = []
+    monkeypatch.setenv("DISPLAY", ":0")
+    monkeypatch.setattr(cv2, "imshow", lambda name, im: shown.append(name))
+    monkeypatch.setattr(cv2, "waitKey", lambda ms: -1)
+    detect(make_parser().parse_args(
+        base + ["--project", str(tmp_path / "runs_view")]))
+    assert len(shown) == n, f"imshow called {len(shown)}x, expected {n}"
+
+    # headless: the env probe must disable the view BEFORE any imshow
+    # call (this cv2/Qt build hard-aborts the process inside imshow)
+    def _would_abort(name, im):
+        raise AssertionError("imshow must not be reached headless")
+
+    monkeypatch.delenv("DISPLAY", raising=False)
+    monkeypatch.delenv("WAYLAND_DISPLAY", raising=False)
+    monkeypatch.setattr(cv2, "imshow", _would_abort)
+    detect(make_parser().parse_args(
+        base + ["--project", str(tmp_path / "runs_headless")]))
+    outerr = capsys.readouterr().out
+    assert outerr.count("--view-img requires a display") == 1
+    assert f"im{n - 1}.jpg" in outerr, "processing stopped after warning"
+
+
 def test_dynamic_batcher_close_wakes_stranded(tiny_fused):
     """close() must terminate the pipeline promptly and set EVERY waiter's
     event: requests stranded in the queues resolve with result None

@@ -11,6 +11,8 @@ output conventions.
 from __future__ import annotations
 
 import argparse
+import os
+import sys
 import time
 from pathlib import Path
 
@@ -50,6 +52,16 @@ def detect(opt):
     vid_writer, vid_path = None, None
     t_total = 0.0
     n_frames = 0
+    view_img = opt.view_img
+    if view_img and sys.platform.startswith("linux") \
+            and not (os.environ.get("DISPLAY")
+                     or os.environ.get("WAYLAND_DISPLAY")):
+        # reference check_imshow (utils/general.py:103-110) probes with a
+        # live cv2.imshow; this cv2/Qt build hard-aborts the process when
+        # no display server exists, so probe the environment instead
+        print("WARNING: --view-img requires a display; "
+              "continuing without live view")
+        view_img = False
     for path, img, im0s, cap, ratio, dwdh in dataset:
         im0_list = im0s if isinstance(im0s, list) else [im0s]
         t0 = time.perf_counter()
@@ -78,8 +90,19 @@ def detect(opt):
                     lines.append(" ".join(f"{v:g}" for v in row))
                 (save_dir / "labels" / f"{stem}.txt").write_text(
                     "\n".join(lines))
-            if not opt.nosave:
+            if view_img or not opt.nosave:
                 draw_detections(im0, d, names)
+            if view_img:
+                # live display (reference detect.py:171-175); degrades to a
+                # one-time warning on headless boxes instead of crashing
+                try:
+                    cv2.imshow(str(p), im0)
+                    cv2.waitKey(1)
+                except cv2.error:
+                    print("WARNING: --view-img requires a display; "
+                          "continuing without live view")
+                    view_img = False
+            if not opt.nosave:
                 if dataset.mode == "image":
                     cv2.imwrite(str(save_dir / p.name), im0)
                 else:
@@ -118,6 +141,9 @@ def make_parser():
     p.add_argument("--save-txt", action="store_true")
     p.add_argument("--save-conf", action="store_true")
     p.add_argument("--nosave", action="store_true")
+    p.add_argument("--view-img", action="store_true",
+                   help="display results live (reference detect.py:171-175; "
+                        "warns and continues if no display is available)")
     p.add_argument("--no-fuse", action="store_true")
     p.add_argument("--project", default="runs/detect")
     p.add_argument("--name", default="exp")
