@@ -57,6 +57,11 @@ def run_variant(name, data_yaml, hyp_yaml, out, args, **tc_kw):
         save_dir=str(out / name), compute_dtype=jnp.bfloat16,
         max_labels=64, noval=True, save_period=-1, autoanchor=False,
         nominal_batch_size=64, workers=1, seed=0, multi_scale=True,
+        # nosave: per-epoch last.ckpt saves fetch the full train state
+        # through the TPU relay (~60 s/epoch on this box — 10x the step
+        # loop); the A/B only evaluates the FINAL checkpoint, which the
+        # trainer writes regardless on the last epoch
+        nosave=True,
         **tc_kw)
     t0 = time.time()
     train(tc)
